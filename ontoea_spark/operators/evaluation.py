@@ -1,0 +1,79 @@
+"""Alignment ranking metrics (SURVEY.md §2.12 A7/V2).
+
+Reference semantics (alignment.py:149-171 ``calculate_rank``): for each
+left entity i with gold partner gold(i), rank = 1 + position of gold in
+the descending argsort of row i. NumPy argsort is stable, so ties resolve
+by candidate index ascending; we reproduce that exactly:
+
+    rank(i) = 1 + #{j : sim(i,j) > sim(i,gold)}
+                + #{j < gold : sim(i,j) = sim(i,gold)}
+
+Metrics: Hits@k = mean(rank <= k), MR = mean(rank), MRR = mean(1/rank);
+reference reports hits as round(pct, 3) — we return fractions and let
+callers scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ranks_vs_gold(scores: DataFrame, gold: DataFrame) -> DataFrame:
+    """scores: DataFrame[lid, rid, sim] (full rows or candidate supersets
+    that are guaranteed to contain the gold pair and everything scored
+    above it). gold: DataFrame[lid, gold_rid].
+
+    Returns DataFrame[lid, rank] (rank >= 1, argsort-stable tie-break).
+    """
+    g = F.broadcast(gold)
+    with_gold = scores.join(g, "lid")
+    gold_sim = (
+        with_gold.filter(F.col("rid") == F.col("gold_rid"))
+        .select("lid", F.col("sim").alias("gsim"))
+    )
+    j = with_gold.join(gold_sim, "lid")
+    return (
+        j.groupBy("lid")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum((F.col("sim") > F.col("gsim")).cast("long"))
+                + F.sum(
+                    (
+                        (F.col("sim") == F.col("gsim"))
+                        & (F.col("rid") < F.col("gold_rid"))
+                    ).cast("long")
+                )
+            ).alias("rank")
+        )
+        .select("lid", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def rank_metrics(
+    ranks: DataFrame, top_k: tuple[int, ...] = (1, 5, 10, 50)
+) -> DataFrame:
+    """One-row metrics frame: hits_{k} (fraction), mr, mrr (rounded 6dp)."""
+    aggs = [
+        F.round(F.avg((F.col("rank") <= kk).cast("double")), 6).alias(f"hits{kk}")
+        for kk in top_k
+    ]
+    aggs += [
+        F.round(F.avg(F.col("rank").cast("double")), 6).alias("mr"),
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 6).alias("mrr"),
+    ]
+    return ranks.agg(*aggs)
+
+
+def greedy_alignment_pairs(scores: DataFrame) -> DataFrame:
+    """V2 argmax pairs: each lid's best rid by (sim desc, rid asc) — the
+    stable-argsort tie-break. DataFrame[lid, rid, sim]."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lid", "rid", "sim")
+    )

@@ -1,0 +1,138 @@
+"""Projection/filter operators P1-P7 (SURVEY.md §2.2) + supervision joins
+J2-J4 (§2.4), expressed as semi/anti joins so Catalyst plans them as
+broadcast joins when the link side is small.
+
+Reference semantics:
+* P1 ``parse_triples`` (kg.py:1-7): distinct subjects/objects/predicates.
+* P6 ``remove_unlinked_triples`` (kgs.py:643-654): keep triples whose BOTH
+  endpoints appear in the link set.
+* P7 ``remove_no_triples_link`` (kgs.py:623-640): keep links whose both
+  sides appear somewhere in their KG's triples; reference iterates P6+P7
+  to a fixpoint (kgs.py:598-615).
+* J2 ``generate_sup_relation_triples`` (read.py:166-181): for every link
+  (e1,e2) substitute the aligned entity into the partner KG's adjacency.
+* J4 ``generate_sup_cv_links`` (read.py:184-200): propagate class
+  membership across alignment links where one side is missing/different.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_entities(triples: DataFrame) -> DataFrame:
+    """P1: distinct entities (subjects ∪ objects). DataFrame[entity]."""
+    return (
+        triples.select(F.col("s").alias("entity"))
+        .unionAll(triples.select(F.col("o").alias("entity")))
+        .distinct()
+    )
+
+
+def parse_relations(triples: DataFrame) -> DataFrame:
+    return triples.select(F.col("p").alias("relation")).distinct()
+
+
+def linked_entity_set(links: DataFrame, side: str) -> DataFrame:
+    """Entities appearing on one side of the link table. side in {e1,e2}."""
+    return links.select(F.col(side).alias("entity")).distinct()
+
+
+def remove_unlinked_triples(triples: DataFrame, linked: DataFrame) -> DataFrame:
+    """P6: keep triples with BOTH endpoints in ``linked`` (col: entity).
+    Two semi-joins; the linked set is broadcast when small."""
+    le = F.broadcast(linked)
+    return triples.join(
+        le.withColumnRenamed("entity", "s"), "s", "left_semi"
+    ).join(le.withColumnRenamed("entity", "o"), "o", "left_semi").select(
+        "s", "p", "o"
+    )
+
+
+def remove_no_triples_link(
+    links: DataFrame, triples1: DataFrame, triples2: DataFrame
+) -> DataFrame:
+    """P7: keep links whose e1 occurs in KG1's triples and e2 in KG2's."""
+    ents1 = parse_entities(triples1)
+    ents2 = parse_entities(triples2)
+    return links.join(
+        F.broadcast(ents1.withColumnRenamed("entity", "e1")), "e1", "left_semi"
+    ).join(
+        F.broadcast(ents2.withColumnRenamed("entity", "e2")), "e2", "left_semi"
+    )
+
+
+def links_triples_fixpoint(
+    links: DataFrame,
+    triples1: DataFrame,
+    triples2: DataFrame,
+    max_iter: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """P6+P7 iterated (kgs.py:598-615). Bounded driver loop; each pass is a
+    handful of semi-joins, and intermediate frames are the loop-carried
+    state. For unbounded fixpoints at scale, checkpoint every few passes
+    to cut lineage (the reference's loop converges in 1-2 passes on real
+    data — links and triples only shrink)."""
+    for _ in range(max_iter):
+        links = remove_no_triples_link(links, triples1, triples2)
+        l1 = linked_entity_set(links, "e1")
+        l2 = linked_entity_set(links, "e2")
+        triples1 = remove_unlinked_triples(triples1, l1)
+        triples2 = remove_unlinked_triples(triples2, l2)
+    return links, triples1, triples2
+
+
+def sup_relation_triples(links: DataFrame, triples: DataFrame, swap_from: str = "e1") -> DataFrame:
+    """J2 for one KG: substitute the aligned partner entity into this KG's
+    triples at head and tail positions (read.py:166-181).
+
+    ``swap_from``: which link column matches this KG's entities; the other
+    column is substituted in.
+    """
+    other = "e2" if swap_from == "e1" else "e1"
+    lk = F.broadcast(links.select(swap_from, other))
+    head = (
+        triples.join(lk, triples["s"] == lk[swap_from])
+        .select(F.col(other).alias("s"), "p", "o")
+    )
+    tail = (
+        triples.join(lk, triples["o"] == lk[swap_from])
+        .select("s", "p", F.col(other).alias("o"))
+    )
+    return head.unionByName(tail).dropDuplicates()
+
+
+def sup_cv_links(align_links: DataFrame, cv_links: DataFrame) -> DataFrame:
+    """J4 (read.py:184-200): for each alignment link, propagate each side's
+    class to the other. cv_links: DataFrame[entity, cls] (≤1 class per
+    entity). Semantics:
+
+    * both sides same class (or both missing) -> nothing;
+    * one side missing -> the missing side inherits the partner's class;
+    * both present but different -> BOTH swapped pairs are emitted.
+
+    Returns DataFrame[entity, cls] of NEW links, deduplicated.
+    """
+    cv = F.broadcast(cv_links)
+    j = (
+        align_links.join(
+            cv.select(F.col("entity").alias("e1"), F.col("cls").alias("c1")),
+            "e1",
+            "left",
+        ).join(
+            cv.select(F.col("entity").alias("e2"), F.col("cls").alias("c2")),
+            "e2",
+            "left",
+        )
+    )
+    # reference: skip when onto1 == onto2 (including both-missing); the
+    # null-safe inequality expresses exactly that in 3-valued logic
+    diff = j.filter(~F.col("c1").eqNullSafe(F.col("c2")))
+    to_e1 = diff.filter(F.col("c2").isNotNull()).select(
+        F.col("e1").alias("entity"), F.col("c2").alias("cls")
+    )
+    to_e2 = diff.filter(F.col("c1").isNotNull()).select(
+        F.col("e2").alias("entity"), F.col("c1").alias("cls")
+    )
+    return to_e1.unionByName(to_e2).dropDuplicates()

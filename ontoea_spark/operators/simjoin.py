@@ -1,0 +1,222 @@
+"""Blocked cosine/inner top-k similarity join — the engine's signature
+operator (SURVEY.md §2.4 J8/J9; reference: dense n1 x n2 matmul at
+similarity.py:9-52 + per-row rank at alignment.py:139-171).
+
+The reference materializes the full similarity matrix in RAM. At 100 TB
+that is impossible; here the same semantics become a *blocked* join:
+
+  1. pack each side into B blocks of rows -> one row per block holding an
+     id array + a matrix (collect_list of vectors);
+  2. cross-join the block pairs (NL x NR rows total — tiny);
+  3. a mapInPandas kernel does the NumPy matmul per block pair and emits
+     only each left row's block-local top-k (k x NL x NR candidate rows,
+     not n1 x n2);
+  4. a window merges block-local top-ks into the exact global top-k.
+
+Exactness: per-block top-k >= global top-k per row, so step 4 recovers
+the exact answer. Shuffle volume is (n1*NR + n2*NL) vector replicas —
+choose block counts so a block pair's matmul fits executor memory. Skewed
+ids don't matter (blocks are uniform by construction via pmod).
+
+The ANN scale path (:func:`lsh_topk_join`) swaps step 2's full block
+cross-join for candidate buckets from random-hyperplane signatures —
+same kernel, subquadratic candidate generation, recall < 1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ontoea_spark.functions.hashing import portable_hash64
+
+
+def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, n_blocks: int, side: str) -> DataFrame:
+    b = F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).alias(f"{side}b")
+    return (
+        df.select(b, F.col(id_col).cast("long").alias(f"{side}id"), F.col(vec_col).alias("vec"))
+        .groupBy(f"{side}b")
+        .agg(
+            F.collect_list(f"{side}id").alias(f"{side}ids"),
+            F.collect_list("vec").alias(f"{side}vecs"),
+        )
+    )
+
+
+def blocked_topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str = "id",
+    left_vec: str = "vec",
+    right_id: str = "id",
+    right_vec: str = "vec",
+    metric: str = "cosine",
+    n_left_blocks: int = 8,
+    n_right_blocks: int = 8,
+    round_to: int | None = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact top-k similarity join.
+
+    ``exclude_self``: for self-joins over a shared id space, mask pairs
+    with lid == rid inside the kernel (before top-k pruning).
+
+    Returns DataFrame[lid, rid, sim, rk] with rk in 1..k per lid, ordered
+    deterministically by (sim desc, rid asc) — the rid tie-break keeps
+    ranks reproducible across engines/partitionings. ``round_to`` rounds
+    sim before ranking so cross-engine float noise (~1e-15) cannot flip
+    ranks; pass None for raw doubles.
+
+    metric: 'cosine' (normalize then inner) or 'inner'
+    (similarity.py:33-36 semantics).
+    """
+    lp = _pack_blocks(left, left_id, left_vec, n_left_blocks, "l")
+    rp = _pack_blocks(right, right_id, right_vec, n_right_blocks, "r")
+    pairs = lp.crossJoin(rp)
+    normalize = metric == "cosine"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                lids = np.asarray(row.lids, dtype=np.int64)
+                rids = np.asarray(row.rids, dtype=np.int64)
+                lm = np.array([np.asarray(v, dtype=np.float64) for v in row.lvecs])
+                rm = np.array([np.asarray(v, dtype=np.float64) for v in row.rvecs])
+                if normalize:
+                    ln = np.linalg.norm(lm, axis=1, keepdims=True)
+                    rn = np.linalg.norm(rm, axis=1, keepdims=True)
+                    ln[ln == 0] = 1.0
+                    rn[rn == 0] = 1.0
+                    lm = lm / ln
+                    rm = rm / rn
+                sims = lm @ rm.T  # (nl, nr) float64
+                if exclude_self:
+                    sims[lids[:, None] == rids[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                # block-local top-k per left row (argpartition then exact sort)
+                if kk < sims.shape[1]:
+                    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                else:
+                    idx = np.broadcast_to(
+                        np.arange(sims.shape[1]), sims.shape
+                    ).copy()
+                rows_l = np.repeat(lids, idx.shape[1])
+                rows_r = rids[idx.ravel()]
+                rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+                outs.append(
+                    pd.DataFrame({"lid": rows_l, "rid": rows_r, "sim": rows_s})
+                )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"lid": [], "rid": [], "sim": []})
+            )
+
+    cand = pairs.mapInPandas(kernel, schema="lid long, rid long, sim double")
+    if exclude_self:
+        cand = cand.filter(F.col("sim") != float("-inf"))
+    if round_to is not None:
+        cand = cand.withColumn("sim", F.round("sim", round_to))
+    w = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("lid", "rid", "sim", "rk")
+    )
+
+
+def all_pairs_scores(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id",
+    left_vec: str = "vec",
+    right_id: str = "id",
+    right_vec: str = "vec",
+    metric: str = "cosine",
+    n_left_blocks: int = 8,
+    n_right_blocks: int = 8,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Full pairwise score table DataFrame[lid, rid, sim] (blocked matmul,
+    no top-k pruning). Use only at evaluation scale — this IS n1 x n2 rows;
+    the scale path is :func:`blocked_topk_join`."""
+    big_k = 1 << 31
+    lp = _pack_blocks(left, left_id, left_vec, n_left_blocks, "l")
+    rp = _pack_blocks(right, right_id, right_vec, n_right_blocks, "r")
+    pairs = lp.crossJoin(rp)
+    normalize = metric == "cosine"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                lids = np.asarray(row.lids, dtype=np.int64)
+                rids = np.asarray(row.rids, dtype=np.int64)
+                lm = np.array([np.asarray(v, dtype=np.float64) for v in row.lvecs])
+                rm = np.array([np.asarray(v, dtype=np.float64) for v in row.rvecs])
+                if normalize:
+                    ln = np.linalg.norm(lm, axis=1, keepdims=True)
+                    rn = np.linalg.norm(rm, axis=1, keepdims=True)
+                    ln[ln == 0] = 1.0
+                    rn[rn == 0] = 1.0
+                    lm = lm / ln
+                    rm = rm / rn
+                sims = lm @ rm.T
+                nl, nr = sims.shape
+                yield pd.DataFrame(
+                    {
+                        "lid": np.repeat(lids, nr),
+                        "rid": np.tile(rids, nl),
+                        "sim": sims.ravel(),
+                    }
+                )
+
+    out = pairs.mapInPandas(kernel, schema="lid long, rid long, sim double")
+    if round_to is not None:
+        out = out.withColumn("sim", F.round("sim", round_to))
+    return out
+
+
+def csls_rescale(scores: DataFrame, k: int = 10, round_to: int = 6) -> DataFrame:
+    """CSLS rescaling over a pair-score table (similarity.py:55-81):
+
+        csls(i, j) = 2*sim(i, j) - mean(top-k sims of row i)
+                                 - mean(top-k sims of col j)
+
+    Input/output: DataFrame[lid, rid, sim(, csls)]. Note the reference's
+    ``calculate_nearest_k`` takes k of the k+1 largest via argpartition —
+    an approximation; we compute the exact top-k mean (documented
+    deviation, favours correctness).
+
+    At alignment scale the input should be the candidate table from
+    :func:`blocked_topk_join` with k_cand >= csls k on *both* sides (the
+    union of row-wise and column-wise top-k joins), never the full matrix.
+    """
+    wr = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
+    wc = Window.partitionBy("rid").orderBy(F.desc("sim"), F.asc("lid"))
+    row_top = (
+        scores.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .groupBy("lid")
+        .agg(F.avg("sim").alias("near_l"))
+    )
+    col_top = (
+        scores.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= k)
+        .groupBy("rid")
+        .agg(F.avg("sim").alias("near_r"))
+    )
+    return (
+        scores.join(row_top, "lid")
+        .join(col_top, "rid")
+        .withColumn(
+            "csls",
+            F.round(2 * F.col("sim") - F.col("near_l") - F.col("near_r"), round_to),
+        )
+        .select("lid", "rid", "sim", "csls")
+    )

@@ -1,0 +1,108 @@
+"""Text extraction + mention/triple emission (the web-ingest stage).
+
+* :func:`extract_text_udf` — vectorized Arrow UDF: html binary -> extracted
+  text. A pure function of the html bytes alone (no batch state), so the
+  output is byte-identical regardless of Arrow batch boundaries or
+  partitioning (BASELINE.json:15 invariant). The sandbox template is a
+  fixed wrapper, so extraction is an exact inverse; a real-crawl extractor
+  (trafilatura-style) would slot in behind the same signature.
+* :func:`extract_triples` — mention detection + (s,p,o) emission over the
+  extracted text via leftmost non-overlapping trigram grammar
+  (functions/text.py TRIPLE_PATTERN), entirely JVM-side regex — the UDF
+  boundary ends at text extraction.
+
+Scale design: both stages are narrow (per-row) transforms — zero shuffle
+until the downstream dedup/encode. Column pruning matters most here:
+never carry ``html`` past extraction (it dominates bytes); the returned
+frames select only what downstream needs.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ontoea_spark.functions.text import TRIPLE_PATTERN
+
+_BODY_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+
+
+def _extract_text_from_html(html: bytes) -> str:
+    """Pure html->text: contents of the first <p> element, utf-8 decoded.
+
+    Deterministic per input bytes; returns '' when no body is found.
+    """
+    m = _BODY_RE.search(html)
+    return m.group(1).decode("utf-8") if m else ""
+
+
+# DataType instance (not DDL string) so the decorator works at import time
+# without an active SparkSession.
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-vectorized extraction (SURVEY.md §2.13 scalar pandas UDF)."""
+    return html.map(_extract_text_from_html)
+
+
+def extract_pages_text(pages: DataFrame) -> DataFrame:
+    """pages -> (url, warc_ts, lang, text) with text re-extracted from html.
+
+    Drops ``html`` immediately after extraction so downstream stages never
+    shuffle the heavy binary column.
+    """
+    return pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        extract_text_udf(F.col("html")).alias("text"),
+    )
+
+
+def extract_mentions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mention/triple detection: leftmost non-overlapping "ENT REL ENT"
+    trigrams. Input needs (url-or-id..., text). Output adds s, p, o rows
+    (exploded; one row per detected triple; rows with no mention drop).
+
+    Pure JVM regex (regexp_extract_all x3 + arrays_zip + explode).
+    """
+    pat = F.lit(TRIPLE_PATTERN)
+    t = F.col(text_col)
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(t, pat, F.lit(1)).alias("s"),
+        F.regexp_extract_all(t, pat, F.lit(2)).alias("p"),
+        F.regexp_extract_all(t, pat, F.lit(3)).alias("o"),
+    )
+    other_cols = [c for c in docs.columns if c != text_col]
+    return (
+        docs.select(*other_cols, F.explode(zipped).alias("m"))
+        .select(*other_cols, F.col("m.s").alias("s"), F.col("m.p").alias("p"), F.col("m.o").alias("o"))
+    )
+
+
+def extract_triples(
+    docs: DataFrame, text_col: str = "text", namespace_col: str | None = None
+) -> DataFrame:
+    """Distinct (s,p,o) triples, optionally namespaced per KG.
+
+    ``namespace_col``: when given (e.g. a 'kg' column valued 'kg1'/'kg2'),
+    entity URIs become '<ns>:<word>' so the two KGs have disjoint URI
+    spaces (relations stay shared vocabulary, as in OpenEA benchmarks).
+    Set semantics: dedup on read (reference read.py:219-236 stores into a
+    set).
+    """
+    m = extract_mentions(docs, text_col)
+    if namespace_col is not None:
+        ns = F.col(namespace_col)
+        m = m.select(
+            F.concat(ns, F.lit(":"), F.col("s")).alias("s"),
+            F.col("p"),
+            F.concat(ns, F.lit(":"), F.col("o")).alias("o"),
+        )
+    else:
+        m = m.select("s", "p", "o")
+    return m.dropDuplicates()

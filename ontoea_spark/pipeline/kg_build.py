@@ -1,0 +1,124 @@
+"""End-to-end KG construction DAG (the rebuild of SURVEY.md §3.2).
+
+pages (url, warc_ts, html, text, lang)
+  -> extract text (Arrow UDF; byte-identical per url)
+  -> mention detection -> (s, p, o) per KG (lang-split: 'en' -> kg1,
+     rest -> kg2 — the two-corpus analogue of OpenEA's two KGs)
+  -> dedup (set semantics) -> deterministic interleaved dictionary ids
+  -> edge table (s_id, p_id, o_id, kg) + vertex table (id, uri, kg, freq)
+  -> gold alignment links (shared surface form across KGs)
+
+Everything below the UDF is JVM-side; the only shuffles are the dedup,
+the dictionary count/rank, and the final repartition-by-key for the
+partitioned sinks. Broadcast joins everywhere a dictionary is involved.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontoea_spark.operators.dictionary import encode_triples, interleaved_ids
+from ontoea_spark.pipeline.extract import extract_pages_text, extract_triples
+
+
+@dataclass
+class KGBuildResult:
+    triples1: DataFrame  # (s, p, o) URIs, kg1
+    triples2: DataFrame
+    ent_ids: DataFrame  # (kg, elem, freq, rank, id)
+    rel_ids: DataFrame
+    edges: DataFrame  # (s_id, p_id, o_id, kg)
+    vertices: DataFrame  # (id, uri, kg, freq)
+    links: DataFrame  # gold alignment (e1, e2) URIs
+
+
+def split_two_kgs(docs_text: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Tag each document with its KG ('kg1' for en, 'kg2' otherwise)."""
+    return docs_text.withColumn(
+        "kg", F.when(F.col(lang_col) == "en", F.lit("kg1")).otherwise(F.lit("kg2"))
+    )
+
+
+def gold_links(triples1: DataFrame, triples2: DataFrame) -> DataFrame:
+    """Gold alignment: kg1:<w> <-> kg2:<w> for surface forms w that occur
+    as an entity in BOTH KGs (the synthetic corpus's ground truth)."""
+    from ontoea_spark.operators.filters import parse_entities
+
+    e1 = parse_entities(triples1).select(
+        F.col("entity").alias("e1"),
+        F.regexp_replace("entity", "^kg1:", "").alias("w"),
+    )
+    e2 = parse_entities(triples2).select(
+        F.col("entity").alias("e2"),
+        F.regexp_replace("entity", "^kg2:", "").alias("w"),
+    )
+    return e1.join(e2, "w").select("e1", "e2")
+
+
+def build_kg(pages: DataFrame) -> KGBuildResult:
+    docs_text = extract_pages_text(pages)
+    tagged = split_two_kgs(docs_text)
+    triples1 = extract_triples(
+        tagged.filter(F.col("kg") == "kg1"), namespace_col="kg"
+    )
+    triples2 = extract_triples(
+        tagged.filter(F.col("kg") == "kg2"), namespace_col="kg"
+    )
+    ent_ids = interleaved_ids(triples1, triples2, roles=("s", "o"))
+    rel_ids = interleaved_ids(triples1, triples2, roles=("p",))
+    e1 = ent_ids.filter(F.col("kg") == 1)
+    e2 = ent_ids.filter(F.col("kg") == 2)
+    r1 = rel_ids.filter(F.col("kg") == 1)
+    r2 = rel_ids.filter(F.col("kg") == 2)
+    edges = (
+        encode_triples(triples1, e1, r1)
+        .withColumn("kg", F.lit(1).cast("long"))
+        .unionByName(
+            encode_triples(triples2, e2, r2).withColumn(
+                "kg", F.lit(2).cast("long")
+            )
+        )
+    )
+    vertices = ent_ids.select(
+        F.col("id"), F.col("elem").alias("uri"), F.col("kg"), F.col("freq")
+    )
+    links = gold_links(triples1, triples2)
+    return KGBuildResult(
+        triples1=triples1,
+        triples2=triples2,
+        ent_ids=ent_ids,
+        rel_ids=rel_ids,
+        edges=edges,
+        vertices=vertices,
+        links=links,
+    )
+
+
+def materialize(
+    result: KGBuildResult, out_dir: str, partitions: int = 32
+) -> dict[str, str]:
+    """Write partitioned edge/vertex parquet tables (Iceberg-shaped layout:
+    edges partitioned by kg, repartitioned on s_id so downstream
+    adjacency scans are co-located). Returns path map."""
+    paths = {
+        "edges": f"{out_dir}/edges",
+        "vertices": f"{out_dir}/vertices",
+        "links": f"{out_dir}/links",
+    }
+    (
+        result.edges.repartition(partitions, "s_id")
+        .write.mode("overwrite")
+        .partitionBy("kg")
+        .parquet(paths["edges"])
+    )
+    (
+        result.vertices.repartition(max(partitions // 4, 1), "id")
+        .write.mode("overwrite")
+        .partitionBy("kg")
+        .parquet(paths["vertices"])
+    )
+    result.links.write.mode("overwrite").parquet(paths["links"])
+    return paths

@@ -1,0 +1,40 @@
+"""Smoke tests for the driver contract: entry() + pipeline invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_entry_returns_edges(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.count()
+    assert rows > 0
+    assert [f.name for f in df.schema.fields] == ["s_id", "p_id", "o_id", "kg"]
+
+
+def test_extraction_byte_identical(spark):
+    """BASELINE.json:15 invariant: extracted text == gold text per url."""
+    from ontoea_spark.pipeline.extract import extract_pages_text
+    from ontoea_spark.pipeline.pages import synthesize_pages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = synthesize_pages(docs).cache()
+    extracted = extract_pages_text(pages).select("url", "text")
+    gold = pages.select("url", F.col("text").alias("gold_text"))
+    j = extracted.join(gold, "url")
+    n_total = j.count()
+    n_match = j.filter(F.col("text") == F.col("gold_text")).count()
+    assert n_total == docs.count()
+    assert n_match == n_total, f"{n_total - n_match} urls differ"
+    pages.unpersist()
+
+
+def test_queries_have_oracles_or_docstring(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 25
