@@ -33,6 +33,9 @@ from ontoea_spark.operators import dictionary as DICT
 from ontoea_spark.operators import filters as FLT
 from ontoea_spark.operators import evaluation as EV
 from ontoea_spark.operators import simjoin as SJ
+from ontoea_spark.ontology import compat as OC
+from ontoea_spark.ontology import fixture as OF
+from ontoea_spark.ontology import tree as OT
 from ontoea_spark.pipeline import extract as EX
 from ontoea_spark.pipeline.kg_build import gold_links, split_two_kgs
 
@@ -518,6 +521,169 @@ def q_hits_metrics(spark, sf_dir):
     return EV.rank_metrics(ranks, top_k=(1, 5, 10))
 
 
+# ---------------------------------------------------------------------------
+# ontology kernel queries (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+def _onto_cpd(spark, sf_dir):
+    """Shared ontology fixture: leaf classes from the crossview fixture ->
+    synthetic tree -> paths + disjoint-target expansion.
+    Returns DataFrame[cls, path, disj]."""
+    leaf = _cv_fixture(spark, sf_dir).select("cls").distinct().cache()
+    sub, disj = OF.synth_ontology(spark, leaf)
+    paths = OT.class_paths(sub, iters=4)
+    return OT.disjoint_targets(paths, disj)
+
+
+def q_onto_class_paths(spark, sf_dir):
+    """G1/G2/G9: root-ward class paths via iterative broadcast self-join,
+    plus depth and the max_depth=2 truncation (inference.py:497-520)."""
+    cpd = _onto_cpd(spark, sf_dir)
+    trunc = OT.truncate_paths(cpd.select("cls", "path"), max_depth=2)
+    return (
+        cpd.join(trunc.withColumnRenamed("path", "tpath"), "cls")
+        .select(
+            "cls",
+            F.array_join("path", ">").alias("path_str"),
+            F.size("path").cast("long").alias("depth"),
+            F.array_join("tpath", ">").alias("trunc_str"),
+        )
+    )
+
+
+def _q_compat(version, k=0.0, unsure_w=0.5):
+    def q(spark, sf_dir):
+        cpd = _onto_cpd(spark, sf_dir)
+        return OC.compat_pairs(cpd, version=version, k=k, unsure_w=unsure_w)
+
+    q.__doc__ = f"G4: check_type_v{version} all-pairs compatibility (check.py)."
+    q.__name__ = f"q_onto_compat_v{version}"
+    return q
+
+
+q_onto_compat_v1 = _q_compat(1)
+q_onto_compat_v2 = _q_compat(2, unsure_w=0.5)
+q_onto_compat_v3 = _q_compat(3)
+q_onto_compat_v4 = _q_compat(4)
+q_onto_compat_v5 = _q_compat(5, k=1.0)
+q_onto_compat_v6 = _q_compat(6, k=1.0)
+
+
+def q_onto_compat_seeded(spark, sf_dir):
+    """G5+G6: v5 conflict table with seed calibration — class pairs seen
+    on gold alignment links get score 1 both directions (kgs.py:288-307)."""
+    cpd = _onto_cpd(spark, sf_dir)
+    compat = OC.compat_pairs(cpd, version=5, k=1.0)
+    t1 = _triples(spark, sf_dir, "kg1")
+    t2 = _triples(spark, sf_dir, "kg2")
+    links = gold_links(t1, t2)
+    cv = _cv_fixture(spark, sf_dir)
+    seeds = (
+        links.join(cv.withColumnRenamed("entity", "e1").withColumnRenamed("cls", "c1"), "e1")
+        .join(cv.withColumnRenamed("entity", "e2").withColumnRenamed("cls", "c2"), "e2")
+        .select("c1", "c2")
+    )
+    return OC.calibrate_seed_pairs(compat, seeds)
+
+
+def _rel_class_hist(spark, sf_dir):
+    """(p, cls, n): per relation, frequency of each ancestor class over
+    the *distinct typed head entities* of that relation
+    (inference.py:249-258 class_freq)."""
+    t1 = _triples(spark, sf_dir, "kg1")
+    cv = _cv_fixture(spark, sf_dir)
+    cpd = _onto_cpd(spark, sf_dir)
+    heads = t1.select(F.col("p"), F.col("s").alias("entity")).distinct()
+    typed = heads.join(cv, "entity").join(
+        F.broadcast(cpd.select("cls", "path")), "cls"
+    )
+    return (
+        typed.select("p", F.explode("path").alias("cls"))
+        .groupBy("p", "cls")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_rel_class_hist(spark, sf_dir):
+    return _rel_class_hist(spark, sf_dir)
+
+
+def q_rel_class_entropy(spark, sf_dir):
+    """A6: per (relation, parent class): entropy of the top-2 observed
+    child classes (inference.py:162-186 calculate_entropy; top-2 tie-break
+    made deterministic by (freq desc, cls asc) — the reference relies on
+    Python dict order)."""
+    hist = _rel_class_hist(spark, sf_dir)
+    cpd = _onto_cpd(spark, sf_dir)
+    # global tree adjacency: a child observed for relation p implies the
+    # (child -> parent) edge was on an observed path for p (single-parent
+    # tree), so hist ⨝ edges reproduces the per-relation class_tree_dict
+    edges = (
+        cpd.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("path") - 2),
+                    lambda i: F.struct(
+                        F.get("path", i).alias("child"),
+                        F.get("path", i + 1).alias("parent"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.child", "e.parent")
+        # single-element paths (the root): sequence(0, -1) descends and
+        # fabricates a null-parent edge — drop it
+        .filter(F.col("parent").isNotNull())
+        .distinct()
+    )
+    ch = hist.join(F.broadcast(edges), hist.cls == edges.child).select(
+        "p", "parent", F.col("cls").alias("child"), "n"
+    )
+    w = Window.partitionBy("p", "parent").orderBy(F.desc("n"), F.asc("child"))
+    rk = ch.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nch", F.count("*").over(Window.partitionBy("p", "parent"))
+    )
+    top2 = rk.groupBy("p", "parent").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("f1"),
+        F.max(F.when(F.col("rn") == 2, F.col("n"))).alias("f2"),
+        F.max("nch").alias("nch"),
+    )
+    p1 = F.col("f1") / (F.col("f1") + F.col("f2"))
+    p2 = F.col("f2") / (F.col("f1") + F.col("f2"))
+    ent = F.when(F.col("nch") == 1, 0.0).otherwise(
+        -(p1 * F.log2(p1)) - (p2 * F.log2(p2))
+    )
+    return top2.select(
+        "p", "parent", F.round(ent.cast("double"), 6).alias("entropy")
+    )
+
+
+def q_class_complete_vote(spark, sf_dir):
+    """G8 (one voting round): untyped kg1 entities take the most frequent
+    leaf class among their out-neighbors' classes; deterministic argmax by
+    (votes desc, cls asc) (inference.py:193-282, relational slice)."""
+    t1 = _triples(spark, sf_dir, "kg1")
+    cv = _cv_fixture(spark, sf_dir)
+    ents = FLT.parse_entities(t1)
+    untyped = ents.join(cv, ents.entity == cv.entity, "left_anti")
+    votes = (
+        t1.join(untyped, t1.s == untyped.entity)
+        .join(
+            cv.select(F.col("entity").alias("o_ent"), F.col("cls")),
+            t1.o == F.col("o_ent"),
+        )
+        .groupBy("entity", "cls")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("entity").orderBy(F.desc("votes"), F.asc("cls"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("entity", "cls", "votes")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_triples": q_extract_triples,
@@ -547,6 +713,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "csls_top1": q_csls_top1,
         "hits_metrics": q_hits_metrics,
+        "onto_class_paths": q_onto_class_paths,
+        "onto_compat_v1": q_onto_compat_v1,
+        "onto_compat_v2": q_onto_compat_v2,
+        "onto_compat_v3": q_onto_compat_v3,
+        "onto_compat_v4": q_onto_compat_v4,
+        "onto_compat_v5": q_onto_compat_v5,
+        "onto_compat_v6": q_onto_compat_v6,
+        "onto_compat_seeded": q_onto_compat_seeded,
+        "rel_class_hist": q_rel_class_hist,
+        "rel_class_entropy": q_rel_class_entropy,
+        "class_complete_vote": q_class_complete_vote,
     }
 
 
@@ -903,6 +1080,198 @@ SELECT round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
        round(avg(rank * 1.0), 6) AS mr,
        round(avg(1.0 / rank), 6) AS mrr
 FROM rk
+"""
+
+    # -- ontology kernel -----------------------------------------------
+    T = OF.SQL_THING
+    _ONTO_CTE = (
+        _TRIPLES_CTE
+        + ","
+        + _CV_CTE
+        + ",\nleafcls AS (SELECT DISTINCT cls FROM cv),"
+        + OF.SQL_ONTO_EDGES
+        + ","
+        + OF.SQL_CLASS_PATHS
+        + ","
+        + OF.SQL_DISJ_TARGETS
+    )
+
+    _COMPAT_CTE = """
+compat AS (
+  SELECT a.cls AS c1, b.cls AS c2, a.path AS pa, b.path AS pb,
+         (len(list_intersect(a.dtargets, b.path)) > 0
+          OR len(list_intersect(b.dtargets, a.path)) > 0) AS disjf,
+         coalesce(
+           nullif(list_position(
+             [a.path[len(a.path)-i+1] IS DISTINCT FROM b.path[len(b.path)-i+1]
+              for i in range(1, least(len(a.path), len(b.path))+1)],
+             true), 0) - 1,
+           least(len(a.path), len(b.path))) AS sl
+  FROM cpd a, cpd b
+)
+"""
+
+    sql["onto_class_paths"] = f"""
+WITH RECURSIVE {_ONTO_CTE}
+SELECT cls,
+       array_to_string(path, '>') AS path_str,
+       CAST(len(path) AS BIGINT) AS depth,
+       array_to_string(
+         CASE WHEN len(path) <= 2 THEN path ELSE path[len(path)-1:] END,
+         '>') AS trunc_str
+FROM cpaths
+"""
+
+    sql["onto_compat_v1"] = f"""
+WITH RECURSIVE {_ONTO_CTE}, {_COMPAT_CTE}
+SELECT c1, c2, round(CASE
+  WHEN len(pa)=1 AND len(pb)=1 AND pa[1]='{T}' THEN 0.5
+  WHEN len(pa)=len(pb) THEN
+    CASE WHEN pa[1]=pb[1] AND NOT contains(pa[1], '{T}') THEN 1.0 ELSE 0.0 END
+  WHEN len(pa)>len(pb) THEN
+    CASE WHEN pa[len(pa)-len(pb)+1]=pb[1] AND NOT contains(pb[1], '{T}') THEN 1.0 ELSE 0.0 END
+  ELSE
+    CASE WHEN pb[len(pb)-len(pa)+1]=pa[1] AND NOT contains(pa[1], '{T}') THEN 1.0 ELSE 0.0 END
+END, 6) AS score FROM compat
+"""
+
+    sql["onto_compat_v2"] = f"""
+WITH RECURSIVE {_ONTO_CTE}, {_COMPAT_CTE}
+SELECT c1, c2, round(CASE
+  WHEN disjf THEN -1.0
+  WHEN len(pa)=1 AND len(pb)=1 AND pa[1]='{T}' THEN 0.5
+  WHEN sl = len(pa) OR sl = len(pb) THEN
+    CASE WHEN sl = len(pa) AND pa[1] = '{T}' THEN 0.5
+         WHEN sl = len(pb) AND pb[1] = '{T}' THEN 0.5
+         ELSE 1.0 END
+  ELSE CASE WHEN sl = 0 OR pa[len(pa)-sl+1] = '{T}' THEN -1.0 ELSE 1.0 END
+END, 6) AS score FROM compat
+"""
+
+    sql["onto_compat_v3"] = f"""
+WITH RECURSIVE {_ONTO_CTE}, {_COMPAT_CTE}
+SELECT c1, c2, round(CASE
+  WHEN len(pa)=len(pb) THEN
+    CASE WHEN pa[1]=pb[1] THEN 1.0
+         WHEN pa[2]=pb[2] AND NOT contains(pa[2], '{T}') THEN 1.0
+         ELSE 0.0 END
+  WHEN len(pa)>len(pb) THEN
+    CASE WHEN pa[len(pa)-len(pb)+1]=pb[1] AND NOT contains(pb[1], '{T}') THEN 1.0 ELSE 0.0 END
+  ELSE
+    CASE WHEN pb[len(pb)-len(pa)+1]=pa[1] AND NOT contains(pa[1], '{T}') THEN 1.0 ELSE 0.0 END
+END, 6) AS score FROM compat
+"""
+
+    sql["onto_compat_v4"] = f"""
+WITH RECURSIVE {_ONTO_CTE}, {_COMPAT_CTE}
+SELECT c1, c2, round(CASE WHEN c1=c2 THEN 1.0 ELSE 0.0 END, 6) AS score
+FROM compat
+"""
+
+    sql["onto_compat_v5"] = f"""
+WITH RECURSIVE {_ONTO_CTE}, {_COMPAT_CTE}
+SELECT c1, c2, round(CASE
+  WHEN disjf THEN 0.0
+  WHEN c1=c2 THEN 1.0
+  ELSE (2.0*len(list_intersect(pa, pb))+1.0)/(len(pa)+len(pb)+1.0)
+END, 6) AS score FROM compat
+"""
+
+    sql["onto_compat_v6"] = f"""
+WITH RECURSIVE {_ONTO_CTE}, {_COMPAT_CTE}
+SELECT c1, c2, round(CASE
+  WHEN disjf THEN 0.0
+  WHEN c1=c2 THEN 1.0
+  ELSE (len(list_intersect(pa, pb))+1.0)/(greatest(len(pa), len(pb))+1.0)
+END, 6) AS score FROM compat
+"""
+
+    sql["onto_compat_seeded"] = f"""
+WITH RECURSIVE {_ONTO_CTE}, {_LINKS_CTE}, {_COMPAT_CTE},
+seedpairs AS (
+  SELECT DISTINCT c1, c2 FROM (
+    SELECT cv1.cls AS c1, cv2.cls AS c2
+    FROM links l JOIN cv cv1 ON cv1.entity = l.e1 JOIN cv cv2 ON cv2.entity = l.e2
+    UNION ALL
+    SELECT cv2.cls, cv1.cls
+    FROM links l JOIN cv cv1 ON cv1.entity = l.e1 JOIN cv cv2 ON cv2.entity = l.e2
+  )
+),
+base AS (
+  SELECT c1, c2, round(CASE
+    WHEN disjf THEN 0.0
+    WHEN c1=c2 THEN 1.0
+    ELSE (2.0*len(list_intersect(pa, pb))+1.0)/(len(pa)+len(pb)+1.0)
+  END, 6) AS score FROM compat
+)
+SELECT b.c1, b.c2,
+       CASE WHEN s.c1 IS NOT NULL THEN 1.0 ELSE b.score END AS score
+FROM base b LEFT JOIN seedpairs s ON s.c1 = b.c1 AND s.c2 = b.c2
+"""
+
+    _HIST_CTE = """
+heads AS (SELECT DISTINCT p, s AS entity FROM t1),
+typed AS (SELECT h.p AS p, c.cls AS cls FROM heads h JOIN cv c ON c.entity = h.entity),
+hist AS (
+  SELECT p, cls, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT t.p AS p, unnest(cp.path) AS cls
+    FROM typed t JOIN cpaths cp ON cp.cls = t.cls
+  ) GROUP BY p, cls
+)
+"""
+
+    sql["rel_class_hist"] = f"""
+WITH RECURSIVE {_ONTO_CTE}, {_HIST_CTE}
+SELECT p, cls, n FROM hist
+"""
+
+    sql["rel_class_entropy"] = f"""
+WITH RECURSIVE {_ONTO_CTE}, {_HIST_CTE},
+tedges AS (
+  SELECT DISTINCT e.child AS child, e.parent AS parent FROM (
+    SELECT unnest([{{'child': path[i], 'parent': path[i+1]}}
+                   for i in range(1, len(path))]) AS e
+    FROM cpaths
+  )
+),
+ch AS (
+  SELECT h.p AS p, e.parent AS parent, h.cls AS child, h.n AS n
+  FROM hist h JOIN tedges e ON e.child = h.cls
+),
+rk AS (
+  SELECT p, parent, child, n,
+         row_number() OVER (PARTITION BY p, parent ORDER BY n DESC, child ASC) AS rn,
+         count(*) OVER (PARTITION BY p, parent) AS nch
+  FROM ch
+),
+top2 AS (
+  SELECT p, parent,
+         max(CASE WHEN rn=1 THEN n END) AS f1,
+         max(CASE WHEN rn=2 THEN n END) AS f2,
+         max(nch) AS nch
+  FROM rk GROUP BY p, parent
+)
+SELECT p, parent, round(CASE WHEN nch = 1 THEN 0.0 ELSE
+  -((f1*1.0/(f1+f2))*log2(f1*1.0/(f1+f2)))
+  - ((f2*1.0/(f1+f2))*log2(f2*1.0/(f1+f2)))
+END, 6) AS entropy FROM top2
+"""
+
+    sql["class_complete_vote"] = f"""
+WITH RECURSIVE {_ONTO_CTE},
+ents1 AS (SELECT DISTINCT e AS entity FROM (SELECT s AS e FROM t1 UNION ALL SELECT o FROM t1)),
+untyped AS (SELECT entity FROM ents1 WHERE entity NOT IN (SELECT entity FROM cv)),
+votes AS (
+  SELECT t.s AS entity, c.cls AS cls, CAST(count(*) AS BIGINT) AS votes
+  FROM t1 t JOIN untyped u ON u.entity = t.s JOIN cv c ON c.entity = t.o
+  GROUP BY t.s, c.cls
+),
+vrk AS (
+  SELECT entity, cls, votes,
+         row_number() OVER (PARTITION BY entity ORDER BY votes DESC, cls ASC) AS rn
+  FROM votes
+)
+SELECT entity, cls, votes FROM vrk WHERE rn = 1
 """
 
     return sql
