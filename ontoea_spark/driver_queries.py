@@ -684,6 +684,21 @@ def q_class_complete_vote(spark, sf_dir):
     )
 
 
+def q_alignment_hits(spark, sf_dir):
+    """E1-E8 + V2/V4/V5/A7 end-to-end: OntoEA-style joint embedding
+    training on the deterministic D-W-15K-style synthetic benchmark, then
+    distributed fused evaluation (Hits@{1,5,10}/MR/MRR). Training is
+    iterative (non-SQL-expressible) — no DuckDB oracle; quality is gated
+    by tests/test_alignment.py instead. Fixed benchmark, independent of
+    sf_dir."""
+    from ontoea_spark.training.align_pipeline import run_benchmark_alignment
+    from ontoea_spark.training.trainer import TrainConfig
+
+    return run_benchmark_alignment(
+        spark, n_ent=150, cfg=TrainConfig(dim=32, epochs=60, seed=42)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_triples": q_extract_triples,
@@ -724,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_class_hist": q_rel_class_hist,
         "rel_class_entropy": q_rel_class_entropy,
         "class_complete_vote": q_class_complete_vote,
+        "alignment_hits": q_alignment_hits,
     }
 
 

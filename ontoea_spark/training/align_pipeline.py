@@ -1,0 +1,276 @@
+"""End-to-end OntoEA alignment (SURVEY.md §3.1/§3.3 lifecycle; §7 stages
+4-5).
+
+Two front doors, one core:
+
+* :func:`prepare_from_pages` — the web corpus path: pages -> build_kg
+  (extract/dedup/encode) -> crossview fixture;
+* :func:`prepare_from_parts` — any two triple sets + gold links + cv
+  links (used by the D-W-15K-style synthetic benchmark, benchgen.py).
+
+Core flow:
+
+    distinct/encode (interleaved dictionary ids)            [distributed]
+    -> ontology tree + class paths from cv classes          [distributed]
+    -> collect id-encoded training arrays (KBs at 15K scale)
+    -> OntoEATrainer.fit (seeded NumPy, driver)             [driver]
+    -> embeddings back to DataFrames
+    -> fused evaluation: blocked similarity join +
+       gamma * class-compat rescoring + Hits@k/MR/MRR        [distributed]
+
+Split: gold links divide 7:2:1 train/valid/test by a deterministic
+portable hash of e1 (reference pre-materializes 721_5fold folds,
+kgs.py:367-369 — same ratio, hash-based for reproducibility without
+files).
+
+The distributed side never materializes an n1 x n2 matrix — evaluation
+goes through the blocked/candidate join (simjoin.py), the 100 TB-safe
+path; the trainer's driver-side matmul only ever sees the valid split
+for early stopping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ontoea_spark.functions.hashing import portable_hash64
+from ontoea_spark.operators import evaluation as EV
+from ontoea_spark.operators import simjoin as SJ
+from ontoea_spark.operators.dictionary import encode_triples, interleaved_ids
+from ontoea_spark.training.trainer import OntoEATrainer, TrainConfig
+
+
+@dataclass
+class AlignmentData:
+    """Id-encoded training inputs + the DataFrames they came from."""
+
+    edges: DataFrame                # (s_id, p_id, o_id[, kg])
+    links_split: DataFrame          # (id1, id2, split)
+    cv_ids: DataFrame               # (ent_id, cls_id)
+    cls_ids: DataFrame              # (cls, cls_id)
+    sub_ids: np.ndarray             # [m, 2] (child_cls_id, parent_cls_id)
+    n_ent: int
+    n_rel: int
+    n_cls: int
+
+
+def split_links(links_ids: DataFrame) -> DataFrame:
+    """7:2:1 train/valid/test by portable hash of id1 (deterministic,
+    engine-independent)."""
+    h = F.pmod(portable_hash64(F.col("id1").cast("string")), F.lit(10))
+    return links_ids.select(
+        "id1",
+        "id2",
+        F.when(h < 7, "train").when(h < 9, "valid").otherwise("test").alias("split"),
+    )
+
+
+def prepare_from_parts(
+    spark: SparkSession,
+    triples1: DataFrame,
+    triples2: DataFrame,
+    links: DataFrame,
+    cv: DataFrame,
+) -> AlignmentData:
+    """triples*: (s, p, o) URI frames; links: (e1, e2); cv: (entity, cls)."""
+    from ontoea_spark.ontology import fixture as OF
+    from ontoea_spark.ontology import tree as OT
+
+    ent_ids = interleaved_ids(triples1, triples2, roles=("s", "o")).cache()
+    rel_ids = interleaved_ids(triples1, triples2, roles=("p",)).cache()
+    e1m = ent_ids.filter("kg = 1")
+    e2m = ent_ids.filter("kg = 2")
+    edges = (
+        encode_triples(triples1, e1m, rel_ids.filter("kg = 1"))
+        .unionByName(encode_triples(triples2, e2m, rel_ids.filter("kg = 2")))
+        .cache()
+    )
+    links_ids = (
+        links.join(e1m.select(F.col("elem").alias("e1"), F.col("id").alias("id1")), "e1")
+        .join(e2m.select(F.col("elem").alias("e2"), F.col("id").alias("id2")), "e2")
+        .select("id1", "id2")
+    )
+    links_split = split_links(links_ids).cache()
+
+    leaf = cv.select("cls").distinct()
+    sub, _disj = OF.synth_ontology(spark, leaf)
+    classes = OT.all_classes(sub)
+    cls_ids = classes.select(
+        "cls",
+        (F.row_number().over(Window.orderBy("cls")) - 1).cast("long").alias("cls_id"),
+    ).cache()
+    all_ent = ent_ids.select(F.col("elem").alias("entity"), F.col("id"))
+    cv_ids = (
+        cv.join(cls_ids, "cls")
+        .join(all_ent, "entity")
+        .select(F.col("id").alias("ent_id"), "cls_id")
+        .cache()
+    )
+    sub_j = (
+        sub.join(
+            cls_ids.withColumnRenamed("cls", "child").withColumnRenamed("cls_id", "child_id"),
+            "child",
+        )
+        .join(
+            cls_ids.withColumnRenamed("cls", "parent").withColumnRenamed("cls_id", "parent_id"),
+            "parent",
+        )
+        .select("child_id", "parent_id")
+    )
+    sub_arr = np.array(
+        [[r.child_id, r.parent_id] for r in sub_j.collect()], dtype=np.int64
+    ).reshape(-1, 2)
+    return AlignmentData(
+        edges=edges,
+        links_split=links_split,
+        cv_ids=cv_ids,
+        cls_ids=cls_ids,
+        sub_ids=sub_arr,
+        n_ent=ent_ids.count(),
+        n_rel=rel_ids.count(),
+        n_cls=cls_ids.count(),
+    )
+
+
+def prepare_from_pages(spark: SparkSession, pages: DataFrame) -> AlignmentData:
+    """Web-corpus path: extraction pipeline feeds the same core."""
+    from ontoea_spark.pipeline.kg_build import build_kg
+
+    kg = build_kg(pages)
+    word = F.expr("substr(entity, 5)")
+    ents1 = kg.triples1.selectExpr("s AS entity").union(
+        kg.triples1.selectExpr("o")
+    ).distinct()
+    ents2 = kg.triples2.selectExpr("s AS entity").union(
+        kg.triples2.selectExpr("o")
+    ).distinct()
+    cv = (
+        ents1.filter(F.length(word) > 5)
+        .select("entity", F.concat(F.lit("cls:"), F.substring(word, 1, 1)).alias("cls"))
+        .unionByName(
+            ents2.filter(F.length(word) >= 5).select(
+                "entity",
+                F.concat(F.lit("cls2:"), F.substring(word, 1, 1)).alias("cls"),
+            )
+        )
+    )
+    return prepare_from_parts(spark, kg.triples1, kg.triples2, kg.links, cv)
+
+
+def train(data: AlignmentData, cfg: TrainConfig | None = None) -> OntoEATrainer:
+    triples = np.array(
+        [
+            [r.s_id, r.p_id, r.o_id]
+            for r in data.edges.select("s_id", "p_id", "o_id").collect()
+        ],
+        dtype=np.int64,
+    ).reshape(-1, 3)
+    cv = np.array(
+        [[r.ent_id, r.cls_id] for r in data.cv_ids.collect()], dtype=np.int64
+    ).reshape(-1, 2)
+    tr = np.array(
+        [
+            [r.id1, r.id2]
+            for r in data.links_split.filter("split = 'train'").collect()
+        ],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    va = np.array(
+        [
+            [r.id1, r.id2]
+            for r in data.links_split.filter("split = 'valid'").collect()
+        ],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    model = OntoEATrainer(data.n_ent, data.n_rel, data.n_cls, cfg)
+    model.fit(triples, data.sub_ids, cv, tr, valid_links=va)
+    return model
+
+
+def _embed_df(spark: SparkSession, ids: np.ndarray, vecs: np.ndarray) -> DataFrame:
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    return spark.createDataFrame(rows, "id long, vec array<double>")
+
+
+def evaluate(
+    spark: SparkSession,
+    data: AlignmentData,
+    model: OntoEATrainer,
+    split: str = "test",
+    gamma: float = 0.2,
+    top_k: tuple[int, ...] = (1, 5, 10),
+) -> DataFrame:
+    """Distributed fused evaluation on one split (V4/V5/J8/J11/A7):
+    sim = inner(map(e1), e2) + gamma * compat_v5(cls(e1), cls(e2)) over
+    the split's candidate space (test e1 x test e2 — the reference's test
+    protocol, ontoea.py:709-761)."""
+    from ontoea_spark.ontology import compat as OC
+    from ontoea_spark.ontology import fixture as OF
+    from ontoea_spark.ontology import tree as OT
+
+    test = data.links_split.filter(F.col("split") == split)
+    ids1 = np.array([r.id1 for r in test.select("id1").collect()], dtype=np.int64)
+    ids2 = np.array([r.id2 for r in test.select("id2").collect()], dtype=np.int64)
+    norm2 = model.ent[ids2] / np.linalg.norm(
+        model.ent[ids2], axis=1, keepdims=True
+    )
+    left = _embed_df(spark, ids1, model.mapped_embeds(ids1))
+    right = _embed_df(spark, ids2, norm2)
+    scores = SJ.all_pairs_scores(left, right, metric="inner", round_to=None)
+
+    leaf = data.cls_ids.select("cls").filter(F.col("cls").like("cls%"))
+    sub, disj = OF.synth_ontology(spark, leaf)
+    cpd = OT.disjoint_targets(OT.class_paths(sub, iters=4), disj)
+    compat = OC.compat_pairs(cpd, version=5, k=1.0)
+    lcls = data.cv_ids.withColumnRenamed("ent_id", "lid").join(
+        data.cls_ids, "cls_id"
+    ).select("lid", F.col("cls").alias("c1"))
+    rcls = data.cv_ids.withColumnRenamed("ent_id", "rid").join(
+        data.cls_ids, "cls_id"
+    ).select("rid", F.col("cls").alias("c2"))
+    fused = (
+        scores.join(F.broadcast(lcls), "lid", "left")
+        .join(F.broadcast(rcls), "rid", "left")
+        .join(F.broadcast(compat), ["c1", "c2"], "left")
+        .withColumn(
+            "sim",
+            F.col("sim") + F.lit(gamma) * F.coalesce(F.col("score"), F.lit(0.0)),
+        )
+        .select("lid", "rid", F.round("sim", 9).alias("sim"))
+    )
+    gold = test.select(F.col("id1").alias("lid"), F.col("id2").alias("gold_rid"))
+    ranks = EV.ranks_vs_gold(fused, gold)
+    return EV.rank_metrics(ranks, top_k=top_k)
+
+
+def run_alignment(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: TrainConfig | None = None,
+    gamma: float = 0.2,
+) -> DataFrame:
+    data = prepare_from_pages(spark, pages)
+    model = train(data, cfg)
+    return evaluate(spark, data, model, gamma=gamma)
+
+
+def run_benchmark_alignment(
+    spark: SparkSession,
+    n_ent: int = 300,
+    cfg: TrainConfig | None = None,
+    gamma: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """D-W-15K-style synthetic benchmark end-to-end (benchgen.py)."""
+    from ontoea_spark.training.benchgen import generate_two_kg
+
+    bench = generate_two_kg(spark, n_ent=n_ent, seed=seed)
+    data = prepare_from_parts(
+        spark, bench.triples1, bench.triples2, bench.links, bench.cv
+    )
+    model = train(data, cfg or TrainConfig(dim=32, epochs=40, seed=seed))
+    return evaluate(spark, data, model, gamma=gamma)

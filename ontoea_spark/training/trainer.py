@@ -1,0 +1,354 @@
+"""OntoEA-style joint embedding trainer — NumPy, seeded, deterministic
+(SURVEY.md §2.11 E1-E8; reference: ontoea.py:120-356 TF graph,
+losses.py:79-215, optimizers.py:4-20 Adagrad, initializers.py:59-65).
+
+Faithful-semantics reimplementation of the reference's loss family:
+
+* E2 ``limited_loss`` (L2): Σ relu(‖h+r−t‖² − pos_m) + balance·Σ
+  relu(neg_m − ‖h'+r−t'‖²)                       (losses.py:79-93)
+* E3 hierarchy loss on subClassOf edges — the ``weights=None`` plain
+  difference path of ``hier_limited_loss`` (losses.py:96-115; the MLP
+  variant adds tanh(W·c+b); the plain path is the same published loss
+  with weights=None, chosen here for exact hand gradients)
+* E4 membership loss entity→class, ``ent2onto_limited_loss`` plain path
+  (losses.py:118-137)
+* E6 ``mapping_limit_loss`` with orthogonal regularizer ‖MMᵀ−I‖²
+  (losses.py:169-184), weight ``alpha`` (ontoea_args_15K.json alpha=5)
+* E7 Adagrad: acc += g²; θ −= lr·g/√(acc+ε)      (optimizers.py:4-20)
+* E1 init 'unit': seeded N(0, σ)/row-L2-normalized (initializers.py:59-65)
+* E8 schedule (simplified): per epoch — triples → hierarchy →
+  membership → mapping; eval every ``eval_freq`` epochs on valid links,
+  early-stop after 2 consecutive Hits@1 declines (evaluation.py:39-44)
+
+Entities are row-L2-normalized after every update (``ent_l2_norm``,
+ontoea.py:193-198). All randomness flows from one ``np.random.Generator``
+seeded by config — same seed ⇒ byte-identical embeddings.
+
+This trainer is driver-side: at reference scale (15K-100K entities,
+dim 300) the model is MBs — the *data* is what needs a cluster, not the
+parameters. The Spark integration (align_pipeline.py) does all
+entity-scale work distributed and collects only the encoded training
+arrays; distributed_gradients() shows the applyInPandas scale-out path
+for the gradient computation itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class TrainConfig:
+    dim: int = 32
+    lr: float = 0.1
+    epochs: int = 100
+    batch_size: int = 2048
+    neg_per_pos: int = 10
+    pos_margin: float = 0.01
+    neg_margin: float = 2.0
+    balance: float = 0.1          # 'neg_param' in ontoea_args_15K.json
+    alpha: float = 5.0            # mapping-loss weight
+    onto_lr: float = 0.01
+    seed: int = 42
+    eval_freq: int = 10
+    early_stop_declines: int = 2
+
+
+class Adagrad:
+    """optimizers.py:4-20 semantics."""
+
+    def __init__(self, shape, lr, eps=1e-8):
+        self.acc = np.zeros(shape, dtype=np.float64)
+        self.lr = lr
+        self.eps = eps
+
+    def step(self, param, grad):
+        self.acc += grad * grad
+        param -= self.lr * grad / (np.sqrt(self.acc) + self.eps)
+
+
+def _unit_init(rng: np.random.Generator, n: int, dim: int) -> np.ndarray:
+    """E1 'unit' init: gaussian rows, L2-normalized (initializers.py:59-65)."""
+    m = rng.normal(0.0, 1.0 / np.sqrt(dim), size=(n, dim))
+    return _l2_rows(m)
+
+
+def _l2_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def limited_loss_grads(pos_d, neg_d, pos_margin, neg_margin, balance):
+    """Shared gradient core for E2/E3/E4: given pos/neg difference vectors
+    d (score = ‖d‖²), returns (loss, pos_coef, neg_coef) where the
+    gradient wrt d is 2·coef·d."""
+    pos_s = np.sum(pos_d * pos_d, axis=1)
+    neg_s = np.sum(neg_d * neg_d, axis=1)
+    pos_active = (pos_s > pos_margin).astype(np.float64)
+    neg_active = (neg_s < neg_margin).astype(np.float64)
+    loss = np.sum(np.maximum(pos_s - pos_margin, 0.0)) + balance * np.sum(
+        np.maximum(neg_margin - neg_s, 0.0)
+    )
+    return loss, pos_active, -balance * neg_active
+
+
+class OntoEATrainer:
+    """Joint entity + ontology embedding model over id-encoded inputs.
+
+    Inputs (all int64 NumPy arrays):
+      triples      [n, 3]  (h, r, t) — both KGs, interleaved global ids
+      sub_edges    [m, 2]  (child_cls, parent_cls) ids
+      cv_links     [c, 2]  (entity, cls) ids
+      train_links  [k, 2]  (e1, e2) seed alignment ids
+    """
+
+    def __init__(
+        self,
+        n_ent: int,
+        n_rel: int,
+        n_cls: int,
+        cfg: TrainConfig | None = None,
+    ):
+        self.cfg = cfg or TrainConfig()
+        c = self.cfg
+        self.rng = np.random.default_rng(c.seed)
+        self.ent = _unit_init(self.rng, n_ent, c.dim)
+        self.rel = _unit_init(self.rng, n_rel, c.dim)
+        self.onto = _unit_init(self.rng, max(n_cls, 1), c.dim)
+        self.mapping = np.eye(c.dim, dtype=np.float64)
+        self._opt_ent = Adagrad(self.ent.shape, c.lr)
+        self._opt_rel = Adagrad(self.rel.shape, c.lr)
+        self._opt_onto = Adagrad(self.onto.shape, c.onto_lr)
+        self._opt_map = Adagrad(self.mapping.shape, c.lr)
+
+    # -- E2: relation triples ------------------------------------------
+    def step_triples(self, triples: np.ndarray) -> float:
+        c = self.cfg
+        n = len(triples)
+        if n == 0:
+            return 0.0
+        reps = c.neg_per_pos
+        h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
+        # negatives: corrupt h or t uniformly (batch.py:103-175 semantics,
+        # collision anti-check replaced by resample-free corruption — a
+        # random id collides with a true triple with negligible prob.)
+        nh = np.repeat(h, reps).copy()
+        nr = np.repeat(r, reps)
+        nt = np.repeat(t, reps).copy()
+        corrupt_head = self.rng.random(n * reps) < 0.5
+        rand_ids = self.rng.integers(0, len(self.ent), size=n * reps)
+        nh[corrupt_head] = rand_ids[corrupt_head]
+        nt[~corrupt_head] = rand_ids[~corrupt_head]
+
+        pos_d = self.ent[h] + self.rel[r] - self.ent[t]
+        neg_d = self.ent[nh] + self.rel[nr] - self.ent[nt]
+        loss, pc, nc = limited_loss_grads(
+            pos_d, neg_d, c.pos_margin, c.neg_margin, c.balance
+        )
+        ge = np.zeros_like(self.ent)
+        gr = np.zeros_like(self.rel)
+        pg = 2.0 * pc[:, None] * pos_d
+        ng = 2.0 * nc[:, None] * neg_d
+        np.add.at(ge, h, pg)
+        np.add.at(ge, t, -pg)
+        np.add.at(gr, r, pg)
+        np.add.at(ge, nh, ng)
+        np.add.at(ge, nt, -ng)
+        np.add.at(gr, nr, ng)
+        self._opt_ent.step(self.ent, ge)
+        self._opt_rel.step(self.rel, gr)
+        self.ent = _l2_rows(self.ent)   # ent_l2_norm (ontoea.py:193-198)
+        return float(loss)
+
+    # -- E3: class hierarchy -------------------------------------------
+    def step_hierarchy(self, sub_edges: np.ndarray) -> float:
+        c = self.cfg
+        if len(sub_edges) == 0:
+            return 0.0
+        ch, pa = sub_edges[:, 0], sub_edges[:, 1]
+        npa = self.rng.integers(0, len(self.onto), size=len(sub_edges))
+        pos_d = self.onto[ch] - self.onto[pa]
+        neg_d = self.onto[ch] - self.onto[npa]
+        loss, pc, nc = limited_loss_grads(
+            pos_d, neg_d, c.pos_margin, c.neg_margin, c.balance
+        )
+        go = np.zeros_like(self.onto)
+        pg = 2.0 * pc[:, None] * pos_d
+        ng = 2.0 * nc[:, None] * neg_d
+        np.add.at(go, ch, pg + ng)
+        np.add.at(go, pa, -pg)
+        np.add.at(go, npa, -ng)
+        self._opt_onto.step(self.onto, go)
+        self.onto = _l2_rows(self.onto)
+        return float(loss)
+
+    # -- E4: membership (cv links) -------------------------------------
+    def step_membership(self, cv_links: np.ndarray) -> float:
+        c = self.cfg
+        if len(cv_links) == 0:
+            return 0.0
+        e, cl = cv_links[:, 0], cv_links[:, 1]
+        ncl = self.rng.integers(0, len(self.onto), size=len(cv_links))
+        pos_d = self.ent[e] - self.onto[cl]
+        neg_d = self.ent[e] - self.onto[ncl]
+        loss, pc, nc = limited_loss_grads(
+            pos_d, neg_d, c.pos_margin, c.neg_margin, c.balance
+        )
+        ge = np.zeros_like(self.ent)
+        go = np.zeros_like(self.onto)
+        pg = 2.0 * pc[:, None] * pos_d
+        ng = 2.0 * nc[:, None] * neg_d
+        np.add.at(ge, e, pg + ng)
+        np.add.at(go, cl, -pg)
+        np.add.at(go, ncl, -ng)
+        self._opt_ent.step(self.ent, ge)
+        self._opt_onto.step(self.onto, go)
+        self.ent = _l2_rows(self.ent)
+        return float(loss)
+
+    # -- E6: alignment mapping -----------------------------------------
+    def step_mapping(self, train_links: np.ndarray) -> float:
+        c = self.cfg
+        if len(train_links) == 0:
+            return 0.0
+        e1, e2 = train_links[:, 0], train_links[:, 1]
+        ne2 = self.rng.integers(0, len(self.ent), size=len(train_links))
+        m = self.mapping
+        p1 = self.ent[e1] @ m
+        pos_d = p1 - self.ent[e2]
+        neg_d = p1 - self.ent[ne2]
+        loss, pc, nc = limited_loss_grads(
+            pos_d, neg_d, c.pos_margin, c.neg_margin, c.balance
+        )
+        pg = 2.0 * pc[:, None] * pos_d
+        ng = 2.0 * nc[:, None] * neg_d
+        gm = self.ent[e1].T @ (pg + ng)
+        # orthogonal regularizer d/dM ‖MMᵀ−I‖² = 4(MMᵀ−I)M
+        ortho = m @ m.T - np.eye(c.dim)
+        gm += 4.0 * ortho @ m
+        loss += float(np.sum(ortho * ortho))
+        ge = np.zeros_like(self.ent)
+        np.add.at(ge, e1, (pg + ng) @ m.T)
+        np.add.at(ge, e2, -pg)
+        np.add.at(ge, ne2, -ng)
+        self._opt_map.step(self.mapping, c.alpha * gm)
+        self._opt_ent.step(self.ent, c.alpha * ge)
+        self.ent = _l2_rows(self.ent)
+        return float(loss)
+
+    # -- E8: schedule ----------------------------------------------------
+    def fit(
+        self,
+        triples: np.ndarray,
+        sub_edges: np.ndarray,
+        cv_links: np.ndarray,
+        train_links: np.ndarray,
+        valid_links: np.ndarray | None = None,
+        log: list | None = None,
+    ) -> "OntoEATrainer":
+        c = self.cfg
+        best, declines = -1.0, 0
+        bs = c.batch_size
+        for epoch in range(c.epochs):
+            order = self.rng.permutation(len(triples))
+            for i in range(0, len(triples), bs):
+                self.step_triples(triples[order[i : i + bs]])
+            self.step_hierarchy(sub_edges)
+            self.step_membership(cv_links)
+            self.step_mapping(train_links)
+            if (
+                valid_links is not None
+                and len(valid_links)
+                and (epoch + 1) % c.eval_freq == 0
+            ):
+                h1 = self.hits_at_1(valid_links)
+                if log is not None:
+                    log.append((epoch + 1, h1))
+                if h1 <= best:
+                    declines += 1
+                    if declines >= c.early_stop_declines:
+                        break
+                else:
+                    best, declines = h1, 0
+        return self
+
+    # -- evaluation helpers ---------------------------------------------
+    def mapped_embeds(self, ids: np.ndarray) -> np.ndarray:
+        return _l2_rows(self.ent[ids] @ self.mapping)
+
+    def hits_at_1(self, links: np.ndarray) -> float:
+        """Driver-side Hits@1 over link candidates (for early stopping;
+        the full evaluation runs distributed via the simjoin operator)."""
+        e1 = self.mapped_embeds(links[:, 0])
+        e2 = _l2_rows(self.ent[links[:, 1]])
+        sim = e1 @ e2.T
+        return float(np.mean(np.argmax(sim, axis=1) == np.arange(len(links))))
+
+
+def distributed_gradients(spark, triples_df, ent, rel, cfg) -> tuple:
+    """The applyInPandas scale-out path for E2: executors compute the
+    triple-loss gradient per shard against broadcast weights; the driver
+    sums shard gradients (equivalent to one global batch step since the
+    loss is a sum over triples).
+
+    Deterministic: negatives are derived per-row from a hash of (h, r, t),
+    not an RNG, so the result is partitioning-independent.
+
+    Returns (ge, gr, loss) summed over all shards.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    b_ent = spark.sparkContext.broadcast(ent)
+    b_rel = spark.sparkContext.broadcast(rel)
+    pos_m, neg_m, bal = cfg.pos_margin, cfg.neg_margin, cfg.balance
+
+    def shard(pdf_iter):
+        for pdf in pdf_iter:
+            E, R = b_ent.value, b_rel.value
+            h = pdf["h"].to_numpy()
+            r = pdf["r"].to_numpy()
+            t = pdf["t"].to_numpy()
+            # hash-derived corruption (deterministic, partition-invariant)
+            mix = (h * 1000003 + r * 10007 + t * 101) & 0x7FFFFFFF
+            corrupt_head = (mix & 1).astype(bool)
+            rand_ids = mix % len(E)
+            nh, nt = h.copy(), t.copy()
+            nh[corrupt_head] = rand_ids[corrupt_head]
+            nt[~corrupt_head] = rand_ids[~corrupt_head]
+            pos_d = E[h] + R[r] - E[t]
+            neg_d = E[nh] + R[r] - E[nt]
+            loss, pc, nc = limited_loss_grads(pos_d, neg_d, pos_m, neg_m, bal)
+            ge = np.zeros_like(E)
+            gr = np.zeros_like(R)
+            pg = 2.0 * pc[:, None] * pos_d
+            ng = 2.0 * nc[:, None] * neg_d
+            np.add.at(ge, h, pg)
+            np.add.at(ge, t, -pg)
+            np.add.at(gr, r, pg)
+            np.add.at(ge, nh, ng)
+            np.add.at(ge, nt, -ng)
+            np.add.at(gr, r, ng)
+            yield pd.DataFrame(
+                {
+                    "ge": [ge.ravel().astype("float64")],
+                    "gr": [gr.ravel().astype("float64")],
+                    "loss": [float(loss)],
+                }
+            )
+
+    parts = triples_df.select(
+        F.col("h").cast("long"), F.col("r").cast("long"), F.col("t").cast("long")
+    ).mapInPandas(shard, schema="ge array<double>, gr array<double>, loss double")
+    rows = parts.collect()
+    ge = np.zeros_like(ent)
+    gr = np.zeros_like(rel)
+    loss = 0.0
+    for row in rows:
+        ge += np.asarray(row.ge).reshape(ent.shape)
+        gr += np.asarray(row.gr).reshape(rel.shape)
+        loss += row.loss
+    return ge, gr, loss
