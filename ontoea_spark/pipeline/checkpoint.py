@@ -1,0 +1,218 @@
+"""Checkpoint-based resumability + per-partition lineage/metrics
+(BASELINE.json north rule; SURVEY.md §2.13/§4 — the reference's closest
+analogue is the HDF5 conflict-matrix cache, check.py:94-99).
+
+Model: every pipeline stage materializes to parquet under
+``<base>/<stage>/`` and appends a manifest entry
+(``<base>/_manifest.json``) recording row count, schema, partition
+count, and wall seconds. On re-run, a stage whose manifest entry exists
+and whose parquet is readable is *skipped* — the DataFrame is reloaded
+from the snapshot, so a killed job resumes at the first incomplete
+stage. Manifest writes are atomic (tmp file + rename).
+
+Lineage/metrics: :func:`with_partition_metrics` materializes a
+per-partition row-count table for a stage (spark_partition_id groupBy —
+one tiny shuffle over already-computed data);
+:func:`drop_metrics` records rows dropped by inner-join dictionary
+encoding (the reference drops silently, read.py:135-136 — we count).
+Metrics land in ``<base>/_metrics/<stage>/`` as parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+        self._manifest_path = os.path.join(base_dir, "_manifest.json")
+
+    # -- manifest ---------------------------------------------------------
+    def manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path, encoding="utf-8") as f:
+                return json.load(f)
+        return {"stages": {}}
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    def is_complete(self, stage: str) -> bool:
+        entry = self.manifest()["stages"].get(stage)
+        if not entry:
+            return False
+        return os.path.exists(
+            os.path.join(self.base, stage, "_SUCCESS")
+        )
+
+    # -- stages -----------------------------------------------------------
+    def stage_path(self, stage: str) -> str:
+        return os.path.join(self.base, stage)
+
+    def run_stage(
+        self,
+        stage: str,
+        fn: Callable[[], DataFrame],
+        partition_by: str | None = None,
+        repartition: tuple[int, str] | None = None,
+    ) -> DataFrame:
+        """Compute-or-reload one stage. ``fn`` is only invoked when the
+        stage has no completed snapshot (resume skips it entirely)."""
+        path = self.stage_path(stage)
+        if self.is_complete(stage):
+            return self.spark.read.parquet(path)
+        t0 = time.perf_counter()
+        df = fn()
+        if repartition is not None:
+            n, key = repartition
+            df = df.repartition(n, key)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
+        out = self.spark.read.parquet(path)
+        n_rows = out.count()
+        self._record_partition_metrics(stage, out)
+        m = self.manifest()
+        m["stages"][stage] = {
+            "rows": n_rows,
+            "schema": out.schema.simpleString(),
+            "seconds": round(time.perf_counter() - t0, 3),
+            "completed_unix": int(time.time()),
+        }
+        self._write_manifest(m)
+        return out
+
+    # -- lineage / metrics --------------------------------------------------
+    def _metrics_path(self, stage: str) -> str:
+        return os.path.join(self.base, "_metrics", stage)
+
+    def _record_partition_metrics(self, stage: str, df: DataFrame) -> None:
+        pm = (
+            df.withColumn("part_id", F.spark_partition_id())
+            .groupBy("part_id")
+            .agg(F.count("*").alias("rows"))
+            .withColumn("stage", F.lit(stage))
+        )
+        pm.write.mode("overwrite").parquet(self._metrics_path(stage))
+
+    def record_drop_metrics(
+        self, stage: str, rows_in: int, rows_out: int
+    ) -> None:
+        """Silent-filter accounting (P4/P5 inner-join drops)."""
+        m = self.manifest()
+        entry = m["stages"].setdefault(stage, {})
+        entry["rows_in"] = rows_in
+        entry["rows_out"] = rows_out
+        entry["rows_dropped"] = rows_in - rows_out
+        self._write_manifest(m)
+
+    def partition_metrics(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._metrics_path(stage))
+
+    def all_partition_metrics(self) -> DataFrame:
+        base = os.path.join(self.base, "_metrics")
+        stages = [
+            s for s in os.listdir(base)
+            if os.path.isdir(os.path.join(base, s))
+        ]
+        dfs = [self.partition_metrics(s) for s in sorted(stages)]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+
+def run_pipeline_checkpointed(
+    spark: SparkSession,
+    pages: DataFrame,
+    base_dir: str,
+    partitions: int = 32,
+) -> dict[str, DataFrame]:
+    """The KG-construction DAG as resumable checkpointed stages:
+
+        pages_text -> triples -> ent_ids/rel_ids -> edges -> vertices/links
+
+    Each stage reloads from its snapshot on resume; edges are
+    repartitioned by s_id and partitioned by kg at the sink (co-located
+    adjacency scans downstream — the Iceberg-shaped layout).
+    """
+    from ontoea_spark.operators.dictionary import encode_triples, interleaved_ids
+    from ontoea_spark.pipeline.extract import extract_pages_text, extract_triples
+    from ontoea_spark.pipeline.kg_build import gold_links, split_two_kgs
+
+    cp = CheckpointManager(spark, base_dir)
+
+    docs_text = cp.run_stage(
+        "pages_text", lambda: split_two_kgs(extract_pages_text(pages))
+    )
+    triples = cp.run_stage(
+        "triples",
+        lambda: extract_triples(
+            docs_text.filter(F.col("kg") == "kg1"), namespace_col="kg"
+        )
+        .withColumn("kgn", F.lit(1).cast("long"))
+        .unionByName(
+            extract_triples(
+                docs_text.filter(F.col("kg") == "kg2"), namespace_col="kg"
+            ).withColumn("kgn", F.lit(2).cast("long"))
+        ),
+    )
+    t1 = triples.filter("kgn = 1").select("s", "p", "o")
+    t2 = triples.filter("kgn = 2").select("s", "p", "o")
+    ent_ids = cp.run_stage(
+        "ent_ids", lambda: interleaved_ids(t1, t2, roles=("s", "o"))
+    )
+    rel_ids = cp.run_stage(
+        "rel_ids", lambda: interleaved_ids(t1, t2, roles=("p",))
+    )
+
+    def _edges() -> DataFrame:
+        e = (
+            encode_triples(t1, ent_ids.filter("kg = 1"), rel_ids.filter("kg = 1"))
+            .withColumn("kg", F.lit(1).cast("long"))
+            .unionByName(
+                encode_triples(
+                    t2, ent_ids.filter("kg = 2"), rel_ids.filter("kg = 2")
+                ).withColumn("kg", F.lit(2).cast("long"))
+            )
+        )
+        return e
+
+    edges = cp.run_stage(
+        "edges", _edges, partition_by="kg", repartition=(partitions, "s_id")
+    )
+    if "rows_dropped" not in cp.manifest()["stages"].get("edges", {}):
+        cp.record_drop_metrics(
+            "edges", rows_in=t1.count() + t2.count(), rows_out=edges.count()
+        )
+    vertices = cp.run_stage(
+        "vertices",
+        lambda: ent_ids.select(
+            "id", F.col("elem").alias("uri"), "kg", "freq"
+        ),
+        partition_by="kg",
+    )
+    links = cp.run_stage("links", lambda: gold_links(t1, t2))
+    return {
+        "pages_text": docs_text,
+        "triples": triples,
+        "ent_ids": ent_ids,
+        "rel_ids": rel_ids,
+        "edges": edges,
+        "vertices": vertices,
+        "links": links,
+        "_manager": cp,
+    }

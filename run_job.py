@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster invocation (BASELINE.json north rule):
+
+    python -m ontoea_spark.package_zip /tmp/ontoea_spark.zip   # build --py-files zip
+    spark-submit --master <cluster> --py-files /tmp/ontoea_spark.zip \\
+        run_job.py --input <pages parquet/iceberg path> \\
+        --checkpoint-dir <dir> [--partitions 32]
+
+Local sandbox equivalents run the same file with --master local[N].
+Resumability: re-running with the same --checkpoint-dir skips every
+completed stage (see pipeline/checkpoint.py); per-partition lineage
+metrics land under <checkpoint-dir>/_metrics/.
+
+The input is the Common-Crawl-style pages table
+(url, warc_ts, html, text, lang). With --synth-from-documents the pages
+are synthesized from a documents.parquet fixture instead (sandbox mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages table path")
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument(
+        "--synth-from-documents",
+        action="store_true",
+        help="input is a documents fixture; synthesize the pages table",
+    )
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("ontoea-kg-build").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ontoea_spark.pipeline.checkpoint import run_pipeline_checkpointed
+
+    pages = spark.read.parquet(args.input)
+    if args.synth_from_documents:
+        from ontoea_spark.pipeline.pages import synthesize_pages
+
+        pages = synthesize_pages(pages)
+
+    t0 = time.perf_counter()
+    out = run_pipeline_checkpointed(
+        spark, pages, args.checkpoint_dir, partitions=args.partitions
+    )
+    n_edges = out["edges"].count()
+    secs = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "edges": n_edges,
+                "vertices": out["vertices"].count(),
+                "links": out["links"].count(),
+                "seconds": round(secs, 3),
+                "triples_per_sec": round(n_edges / secs, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
