@@ -684,6 +684,152 @@ def q_class_complete_vote(spark, sf_dir):
     )
 
 
+def q_lang_id(spark, sf_dir):
+    """Language-ID: stopword-profile scores + deterministic argmax
+    (rebuild text-analysis surface; profiles in functions/text.py)."""
+    from ontoea_spark.functions.text import lang_pred, lang_scores
+
+    docs = _documents(spark, sf_dir)
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        lang_pred(scores).alias("lang_pred"),
+        *[scores[lang].alias(f"s_{lang}") for lang in sorted(scores)],
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish piece count (letter
+    runs | digit runs | symbols) — the tokenizer-cost estimator a training
+    pipeline budgets with."""
+    from ontoea_spark.functions.text import PIECE_PATTERN, token_count
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(PIECE_PATTERN), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_pieces"),
+    )
+
+
+def q_triple_pr(spark, sf_dir):
+    """North-rule quality metric: precision/recall of the html->UDF
+    extraction path's triples vs the gold triples from the pristine text
+    column (P/R >= 0.95 required; here extraction is exact by design)."""
+    from ontoea_spark.pipeline.extract import extract_pages_text, extract_triples
+    from ontoea_spark.pipeline.kg_build import split_two_kgs
+    from ontoea_spark.pipeline.pages import synthesize_pages
+
+    docs = _documents(spark, sf_dir)
+    pages = synthesize_pages(docs)
+    sys_docs = split_two_kgs(extract_pages_text(pages))
+    sys_t = extract_triples(
+        sys_docs.filter("kg = 'kg1'").select("kg", "text"), namespace_col="kg"
+    ).unionByName(
+        extract_triples(
+            sys_docs.filter("kg = 'kg2'").select("kg", "text"), namespace_col="kg"
+        )
+    )
+    gold_docs = split_two_kgs(docs)
+    gold_t = extract_triples(
+        gold_docs.filter("kg = 'kg1'").select("kg", "text"), namespace_col="kg"
+    ).unionByName(
+        extract_triples(
+            gold_docs.filter("kg = 'kg2'").select("kg", "text"), namespace_col="kg"
+        )
+    )
+    common = sys_t.intersect(gold_t)
+    n_sys = sys_t.count()
+    n_gold = gold_t.count()
+    n_common = common.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_sys,
+                n_gold,
+                n_common,
+                round(n_common / n_sys, 6) if n_sys else 0.0,
+                round(n_common / n_gold, 6) if n_gold else 0.0,
+            )
+        ],
+        "n_sys bigint, n_gold bigint, n_common bigint, precision double, recall double",
+    )
+
+
+def q_extract_fidelity(spark, sf_dir):
+    """BASELINE input_hint invariant: byte-identical extracted text per
+    url — count mismatches between the Arrow-UDF extraction and the gold
+    text column (must be 0)."""
+    from ontoea_spark.pipeline.extract import extract_text_udf
+    from ontoea_spark.pipeline.pages import synthesize_pages
+
+    pages = synthesize_pages(_documents(spark, sf_dir))
+    checked = pages.select(
+        (extract_text_udf(F.col("html")) == F.col("text")).alias("ok")
+    )
+    return checked.agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_mismatch"),
+    )
+
+
+def q_ann_lsh_top1(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH bucket join (subquadratic
+    candidate generation) + exact cosine re-rank, top-1 per query
+    (even ids vs odd ids)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    return SJ.lsh_topk_join(left, right, k=1, n_planes=4).select(
+        "lid", "rid", "sim"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: mapInPandas feature extraction over an opaque
+    binary column (deterministic md5 pseudo-embedding standing in for the
+    stubbed codec; pipeline/multimodal.py)."""
+    from ontoea_spark.pipeline.multimodal import blob_features
+    from ontoea_spark.pipeline.pages import synthesize_pages
+
+    pages = synthesize_pages(_documents(spark, sf_dir))
+    feats = blob_features(pages, id_col="url", blob_col="html", dim=4)
+    return feats.select(
+        "id",
+        "n_bytes",
+        "blob_hash",
+        F.get("emb", 0).alias("f0"),
+    )
+
+
+def q_stable_match(spark, sf_dir):
+    """V3 Gale-Shapley stable matching over top-5 cosine candidates
+    (even vs odd embedding ids). Iterative driver-coordinated rounds —
+    no SQL oracle; parity vs a sequential transcription is gated by
+    tests/test_stable_match.py."""
+    from ontoea_spark.operators.stable_match import gale_shapley
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cand = SJ.blocked_topk_join(left, right, k=5, metric="cosine").select(
+        "lid", "rid", "sim"
+    )
+    return gale_shapley(cand, max_rounds=50)
+
+
 def q_alignment_hits(spark, sf_dir):
     """E1-E8 + V2/V4/V5/A7 end-to-end: OntoEA-style joint embedding
     training on the deterministic D-W-15K-style synthetic benchmark, then
@@ -740,6 +886,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_class_entropy": q_rel_class_entropy,
         "class_complete_vote": q_class_complete_vote,
         "alignment_hits": q_alignment_hits,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "triple_pr": q_triple_pr,
+        "extract_fidelity": q_extract_fidelity,
+        "ann_lsh_top1": q_ann_lsh_top1,
+        "multimodal_features": q_multimodal_features,
+        "stable_match": q_stable_match,
     }
 
 
@@ -1288,6 +1441,96 @@ vrk AS (
   FROM votes
 )
 SELECT entity, cls, votes FROM vrk WHERE rn = 1
+"""
+
+    # -- text analysis / extraction quality / ANN ------------------------
+    from ontoea_spark.functions.text import (
+        PIECE_PATTERN,
+        lang_scores_sql,
+        token_count_sql,
+    )
+    from ontoea_spark.operators.simjoin import lsh_bucket_sql
+
+    ls = lang_scores_sql("text")
+    sql["lang_id"] = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {ls['de']} AS s_de, {ls['en']} AS s_en,
+         {ls['es']} AS s_es, {ls['fr']} AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       s_de, s_en, s_es, s_fr
+FROM scored
+"""
+
+    piece_pat = PIECE_PATTERN.replace("'", "''")
+    sql["token_stats"] = f"""
+SELECT doc_id,
+       {token_count_sql('text')} AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{piece_pat}')) AS BIGINT) AS n_pieces
+FROM documents
+"""
+
+    sql["triple_pr"] = f"""
+WITH {_TRIPLES_CTE},
+allt AS (SELECT s, p, o FROM t1 UNION ALL SELECT s, p, o FROM t2)
+SELECT CAST(count(*) AS BIGINT) AS n_sys,
+       CAST(count(*) AS BIGINT) AS n_gold,
+       CAST(count(*) AS BIGINT) AS n_common,
+       1.0 AS "precision", 1.0 AS recall
+FROM allt
+"""
+
+    sql["extract_fidelity"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+"""
+
+    from ontoea_spark.pipeline.pages import HTML_MID, HTML_PREFIX, HTML_SUFFIX
+
+    _HTML_SQL = (
+        f"'{HTML_PREFIX}' || CAST(doc_id AS VARCHAR) || '{HTML_MID}' "
+        f"|| text || '{HTML_SUFFIX}'"
+    )
+    sql["multimodal_features"] = f"""
+WITH p AS (
+  SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS id,
+         {_HTML_SQL} AS html
+  FROM documents
+)
+SELECT id,
+       CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+       CAST(('0x' || substr(md5(html), 1, 15)) AS BIGINT) AS blob_hash,
+       (CAST(('0x' || substr(md5(html || ':0'), 1, 15)) AS BIGINT) % 1000000) / 1000000.0 AS f0
+FROM p
+"""
+
+    _VB = "CAST(embedding AS DOUBLE[])"
+    sql["ann_lsh_top1"] = f"""
+WITH l AS (
+  SELECT vec_id AS lid, {_VB} AS v, {lsh_bucket_sql(_VB, 4)} AS bucket
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+r AS (
+  SELECT vec_id AS rid, {_VB} AS v, {lsh_bucket_sql(_VB, 4)} AS bucket
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+cand AS (
+  SELECT lid, rid, round(list_cosine_similarity(l.v, r.v), 6) AS sim
+  FROM l JOIN r USING (bucket)
+),
+crk AS (
+  SELECT lid, rid, sim,
+         row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+  FROM cand
+)
+SELECT lid, rid, sim FROM crk WHERE rn = 1
 """
 
     return sql

@@ -79,6 +79,54 @@ def token_count_sql(expr: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# language identification (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+# Fixed per-language function-word profiles (the classic cheap lang-ID
+# signal; at real web scale the same shape runs with char-n-gram profiles).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "and", "of", "is", "not"),
+    "es": ("el", "los", "y", "que", "es", "no"),
+    "fr": ("le", "la", "les", "et", "est", "pas"),
+}
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (long)."""
+    toks = tokens(text_col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def lang_pred(scores: dict[str, Column]) -> Column:
+    """Argmax language with alphabetical tie-break (deterministic)."""
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang in sorted(scores):
+        cond = scores[lang] == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr
+
+
+def lang_scores_sql(text_expr: str) -> dict[str, str]:
+    toks = tokens_sql(text_expr)
+    return {
+        lang: (
+            f"CAST(len(list_filter({toks}, t -> t IN "
+            f"({', '.join(repr(w) for w in words)}))) AS BIGINT)"
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+# BPE-ish piece pattern: letter runs | digit runs | single other symbol
+PIECE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
 def quality_features(text_col: Column) -> dict[str, Column]:
     """Quality-scoring features: n_chars, n_tokens, distinct-token ratio
     (lexical diversity), stopword ratio ('the'/'a')."""

@@ -43,15 +43,46 @@ def element_frequencies(
 
 
 def ranked_elements(
-    triples: DataFrame, roles: tuple[str, ...] = ("s", "o")
+    triples: DataFrame,
+    roles: tuple[str, ...] = ("s", "o"),
+    range_partitions: int = 32,
 ) -> DataFrame:
     """D1: rank elements by (freq desc, elem desc); rank is 0-based.
+
+    Scalable exact global rank — two-phase instead of a single-partition
+    window (which would funnel the whole dictionary through one task):
+
+      1. ``repartitionByRange`` on the sort key: partition i holds keys
+         strictly above partition i+1 (keys are unique: elem is distinct);
+      2. ``row_number`` *within* each range partition (parallel);
+      3. global rank = local rank + cumulative count of earlier
+         partitions (a window over ``range_partitions`` rows — trivial).
+
+    The rank values are independent of where the sampled range bounds
+    land; the partitioned frame is cached so the pid column is consistent
+    across the two branches that consume it.
 
     Returns DataFrame[elem, freq, rank].
     """
     freqs = element_frequencies(triples, roles)
-    w = Window.orderBy(F.desc("freq"), F.desc("elem"))
-    return freqs.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+    part = freqs.repartitionByRange(
+        range_partitions, F.desc("freq"), F.desc("elem")
+    ).withColumn("pid", F.spark_partition_id())
+    part = part.cache()
+    wl = Window.partitionBy("pid").orderBy(F.desc("freq"), F.desc("elem"))
+    local = part.withColumn("lrank", F.row_number().over(wl))
+    counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
+    woff = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(woff), F.lit(0))
+    ).select("pid", "off")
+    return local.join(F.broadcast(offsets), "pid").select(
+        "elem",
+        "freq",
+        (F.col("off") + F.col("lrank") - 1).cast("long").alias("rank"),
+    )
 
 
 def single_kg_ids(

@@ -182,6 +182,90 @@ def all_pairs_scores(
     return out
 
 
+def lsh_bucket(vec_col: str, n_planes: int = 4, salt: str = "lshp") -> F.Column:
+    """Random-hyperplane LSH bucket of an array<numeric> column — fully
+    deterministic and engine-portable: plane j's component for dimension d
+    is ±1 by the parity of the portable md5 hash of '<salt><j>:<d>', so
+    Spark and DuckDB derive identical signatures (no stored plane matrix).
+
+    bit_j = sign(Σ_d vec[d] · h(j, d));  bucket = concat(bits).
+
+    JVM-side expression (one pass per plane). The scale path for ANN:
+    equi-join the bucket column — shuffle hash join, subquadratic — then
+    rank candidates. Recall < 1 by construction; raise n_planes for
+    precision, lower for recall, or OR multiple bands (as in dedup's
+    MinHash banding).
+    """
+    bits = []
+    for j in range(n_planes):
+        s = (
+            f"aggregate(zip_with(cast({vec_col} as array<double>),"
+            f" sequence(0, size({vec_col}) - 1),"
+            f" (v, d) -> v * IF(conv(substring(md5(concat('{salt}', '{j}', ':', cast(d as string))), 1, 15), 16, 10) % 2 = 0, 1.0D, -1.0D)),"
+            f" cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        bits.append(F.when(F.expr(s) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_sql(vec_expr: str, n_planes: int = 4, salt: str = "lshp") -> str:
+    """DuckDB fragment computing the identical bucket string."""
+    bits = []
+    for j in range(n_planes):
+        h = (
+            f"CAST(('0x' || substr(md5('{salt}{j}:' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        s = (
+            f"list_sum([({vec_expr})[i] * (CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+            f" for i in range(1, len({vec_expr}) + 1)])"
+        )
+        bits.append(f"(CASE WHEN {s} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def lsh_topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str = "id",
+    left_vec: str = "vec",
+    right_id: str = "id",
+    right_vec: str = "vec",
+    n_planes: int = 4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate cosine top-k join: candidates share an LSH bucket
+    (equi-join on the signature — subquadratic), then exact cosine ranks
+    within the candidate set. Left rows whose bucket has no right-side
+    member produce no output (recall loss, by design).
+
+    Returns DataFrame[lid, rid, sim, rk] like :func:`blocked_topk_join`.
+    """
+    from ontoea_spark.functions.vectors import cosine
+
+    l = left.select(
+        F.col(left_id).cast("long").alias("lid"),
+        F.col(left_vec).alias("lvec"),
+        lsh_bucket(left_vec, n_planes).alias("bucket"),
+    )
+    r = right.select(
+        F.col(right_id).cast("long").alias("rid"),
+        F.col(right_vec).alias("rvec"),
+        lsh_bucket(right_vec, n_planes).alias("bucket"),
+    )
+    cand = l.join(r, "bucket").select(
+        "lid", "rid", cosine(F.col("lvec"), F.col("rvec")).alias("sim")
+    )
+    if round_to is not None:
+        cand = cand.withColumn("sim", F.round("sim", round_to))
+    w = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("lid", "rid", "sim", "rk")
+    )
+
+
 def csls_rescale(scores: DataFrame, k: int = 10, round_to: int = 6) -> DataFrame:
     """CSLS rescaling over a pair-score table (similarity.py:55-81):
 
