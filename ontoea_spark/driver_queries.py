@@ -830,6 +830,69 @@ def q_stable_match(spark, sf_dir):
     return gale_shapley(cand, max_rounds=50)
 
 
+def _attr_lines(spark, sf_dir):
+    """Synthetic attr-file lines (FIXTURES.md §2 format): per kg1 entity
+    one bracketed multi-token line with a bare '.' terminator and one
+    bracketless line with an attached trailing dot."""
+    e1 = FLT.parse_entities(_triples(spark, sf_dir, "kg1"))
+    word = F.expr("substr(entity, 5)")
+    l1 = e1.select(
+        F.concat(
+            F.lit("<"), F.col("entity"), F.lit("> <p:len> "),
+            F.length(word).cast("string"), F.lit(" chars ."),
+        ).alias("value")
+    )
+    l2 = e1.select(
+        F.concat(
+            F.col("entity"), F.lit(" p:word "), word, F.lit("."),
+        ).alias("value")
+    )
+    bad = spark.createDataFrame([("bad line",)], "value string")
+    return l1.unionByName(l2).unionByName(bad)
+
+
+def q_attr_triples_parse(spark, sf_dir):
+    """S2: attribute-triple reader — whitespace split, bracket strip,
+    multi-token literal merge, '.' cleanup (read.py:393-424)."""
+    from ontoea_spark.sources.readers import read_attribute_triples
+
+    return read_attribute_triples(_attr_lines(spark, sf_dir))
+
+
+def q_attr_encode(spark, sf_dir):
+    """D7 + D3: encode attr-triple heads with the kg1 entity dictionary
+    and attrs with their own frequency-ranked dictionary; literal passes
+    through (read.py:152-163)."""
+    from ontoea_spark.sources.readers import read_attribute_triples
+
+    attr = read_attribute_triples(_attr_lines(spark, sf_dir))
+    t1 = _triples(spark, sf_dir, "kg1")
+    t2 = _triples(spark, sf_dir, "kg2")
+    ent_ids = DICT.interleaved_ids(t1, t2, roles=("s", "o")).filter("kg = 1")
+    attr_ids = DICT.ranked_elements(attr, roles=("a",)).withColumnRenamed(
+        "rank", "id"
+    )
+    return DICT.encode_attribute_triples(attr, ent_ids, attr_ids)
+
+
+def q_neg_sample_antijoin(spark, sf_dir):
+    """B3 + J10: hash-deterministic head/tail corruption + left_anti
+    collision filter against true triples (batch.py:103-175, batch.py:166)."""
+    from ontoea_spark.operators.sampling import corrupt_triples, neg_antijoin
+
+    t1 = _triples(spark, sf_dir, "kg1")
+    t2 = _triples(spark, sf_dir, "kg2")
+    ent_ids = DICT.interleaved_ids(t1, t2, roles=("s", "o"))
+    rel_ids = DICT.interleaved_ids(t1, t2, roles=("p",))
+    edges1 = DICT.encode_triples(
+        t1, ent_ids.filter("kg = 1"), rel_ids.filter("kg = 1")
+    )
+    cand = corrupt_triples(
+        edges1, ent_ids.filter("kg = 1").select("rank", "id"), neg_per_pos=2
+    )
+    return neg_antijoin(cand, edges1)
+
+
 def q_alignment_hits(spark, sf_dir):
     """E1-E8 + V2/V4/V5/A7 end-to-end: OntoEA-style joint embedding
     training on the deterministic D-W-15K-style synthetic benchmark, then
@@ -893,6 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top1": q_ann_lsh_top1,
         "multimodal_features": q_multimodal_features,
         "stable_match": q_stable_match,
+        "attr_triples_parse": q_attr_triples_parse,
+        "attr_encode": q_attr_encode,
+        "neg_sample_antijoin": q_neg_sample_antijoin,
     }
 
 
@@ -1509,6 +1575,80 @@ SELECT id,
        CAST(('0x' || substr(md5(html), 1, 15)) AS BIGINT) AS blob_hash,
        (CAST(('0x' || substr(md5(html || ':0'), 1, 15)) AS BIGINT) % 1000000) / 1000000.0 AS f0
 FROM p
+"""
+
+    # -- attr triples + negative sampling ---------------------------------
+    from ontoea_spark.sources.readers import read_attribute_triples_sql
+
+    _ATTR_LINES_CTE = """
+ents_kg1 AS (SELECT DISTINCT e AS entity FROM (SELECT s AS e FROM t1 UNION ALL SELECT o FROM t1)),
+attr_lines AS (
+  SELECT '<' || entity || '> <p:len> ' || CAST(length(substr(entity, 5)) AS VARCHAR) || ' chars .' AS value FROM ents_kg1
+  UNION ALL
+  SELECT entity || ' p:word ' || substr(entity, 5) || '.' FROM ents_kg1
+  UNION ALL
+  SELECT 'bad line'
+)
+"""
+    _ATTR_PARSED = (
+        "SELECT DISTINCT e, a, v FROM ("
+        + read_attribute_triples_sql("SELECT value FROM attr_lines")
+        + ")"
+    )
+
+    sql["attr_triples_parse"] = f"""
+WITH {_TRIPLES_CTE}, {_ATTR_LINES_CTE}
+{_ATTR_PARSED}
+"""
+
+    sql["attr_encode"] = f"""
+WITH {_TRIPLES_CTE}, {_ATTR_LINES_CTE}, {_IDS_CTE},
+attr AS ({_ATTR_PARSED}),
+af AS (SELECT a AS elem, CAST(count(*) AS BIGINT) AS freq FROM attr GROUP BY a),
+aids AS (SELECT elem, CAST(row_number() OVER (ORDER BY freq DESC, elem DESC) - 1 AS BIGINT) AS id FROM af)
+SELECT i.id AS e_id, ai.id AS a_id, attr.v AS v
+FROM attr
+JOIN ids i ON i.kg = 1 AND i.elem = attr.e
+JOIN aids ai ON ai.elem = attr.a
+"""
+
+    sql["neg_sample_antijoin"] = f"""
+WITH {_TRIPLES_CTE}, {_IDS_CTE}, {_REL_IDS_CTE},
+eedges AS (
+  SELECT es.id AS s_id, rp.id AS p_id, eo.id AS o_id
+  FROM t1
+  JOIN ids es ON es.kg = 1 AND es.elem = t1.s
+  JOIN rel_ids rp ON rp.kg = 1 AND rp.elem = t1.p
+  JOIN ids eo ON eo.kg = 1 AND eo.elem = t1.o
+),
+pool AS (SELECT rank, id AS repl_id FROM ids WHERE kg = 1),
+np AS (SELECT count(*) AS n_pool FROM pool),
+copies AS (
+  SELECT s_id, p_id, o_id, i FROM eedges CROSS JOIN (VALUES (0), (1)) AS ii(i)
+),
+withh AS (
+  SELECT s_id, p_id, o_id,
+         CAST(('0x' || substr(md5(
+           CAST(s_id AS VARCHAR) || ':' || CAST(p_id AS VARCHAR) || ':' ||
+           CAST(o_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':neg'
+         ), 1, 15)) AS BIGINT) AS h
+  FROM copies
+),
+cand AS (
+  SELECT w.s_id, w.p_id, w.o_id, w.h, p.repl_id
+  FROM withh w CROSS JOIN np JOIN pool p ON p.rank = w.h % np.n_pool
+),
+corrupted AS (
+  SELECT CASE WHEN h % 2 = 0 THEN repl_id ELSE s_id END AS h_id,
+         p_id AS r_id,
+         CASE WHEN h % 2 = 0 THEN o_id ELSE repl_id END AS t_id
+  FROM cand
+)
+SELECT h_id, r_id, t_id FROM corrupted c
+WHERE NOT EXISTS (
+  SELECT 1 FROM eedges e
+  WHERE e.s_id = c.h_id AND e.p_id = c.r_id AND e.o_id = c.t_id
+)
 """
 
     _VB = "CAST(embedding AS DOUBLE[])"

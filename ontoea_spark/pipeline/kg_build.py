@@ -61,12 +61,16 @@ def gold_links(triples1: DataFrame, triples2: DataFrame) -> DataFrame:
 def build_kg(pages: DataFrame) -> KGBuildResult:
     docs_text = extract_pages_text(pages)
     tagged = split_two_kgs(docs_text)
-    triples1 = extract_triples(
-        tagged.filter(F.col("kg") == "kg1"), namespace_col="kg"
-    )
-    triples2 = extract_triples(
-        tagged.filter(F.col("kg") == "kg2"), namespace_col="kg"
-    )
+    # ONE extraction + dedup pass over the corpus (the kg tag rides along
+    # in the namespace prefix, so a single distinct covers both KGs); the
+    # result is cached because every downstream branch (two dictionaries,
+    # edges, links) re-reads it — without the cache each branch would
+    # re-run the html UDF over the full corpus
+    all_triples = extract_triples(
+        tagged.select("kg", "text"), namespace_col="kg"
+    ).cache()
+    triples1 = all_triples.filter(F.col("s").startswith("kg1:"))
+    triples2 = all_triples.filter(F.col("s").startswith("kg2:"))
     ent_ids = interleaved_ids(triples1, triples2, roles=("s", "o"))
     rel_ids = interleaved_ids(triples1, triples2, roles=("p",))
     e1 = ent_ids.filter(F.col("kg") == 1)
