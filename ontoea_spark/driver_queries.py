@@ -893,6 +893,55 @@ def q_neg_sample_antijoin(spark, sf_dir):
     return neg_antijoin(cand, edges1)
 
 
+def q_dict_sharing_ids(spark, sf_dir):
+    """D4 generate_sharing_id (read.py:29-61, ordered path): aligned
+    link pairs share one id; unlinked elements interleave as D2."""
+    t1 = _triples(spark, sf_dir, "kg1")
+    t2 = _triples(spark, sf_dir, "kg2")
+    links = gold_links(t1, t2)
+    return DICT.sharing_ids(t1, t2, links).select("kg", "elem", "id")
+
+
+def q_sup_attr_swap(spark, sf_dir):
+    """J3 generate_sup_attribute_triples (read.py:203-216): substitute
+    the aligned partner as head of each attr triple (kg1 side shown)."""
+    from ontoea_spark.sources.readers import read_attribute_triples
+
+    attr = read_attribute_triples(_attr_lines(spark, sf_dir))
+    t1 = _triples(spark, sf_dir, "kg1")
+    t2 = _triples(spark, sf_dir, "kg2")
+    links = gold_links(t1, t2)
+    return (
+        links.join(attr, links.e1 == attr.e)
+        .select(F.col("e2").alias("e"), "a", "v")
+        .dropDuplicates()
+    )
+
+
+def q_name_pairs(spark, sf_dir):
+    """S9 load_name_dicts (read.py:476-490): keep only alt-label
+    predicates -> (entity, name); fixture alt-label is 'p:word'."""
+    from ontoea_spark.sources.readers import read_attribute_triples
+
+    attr = read_attribute_triples(_attr_lines(spark, sf_dir))
+    return attr.filter(F.col("a") == "p:word").select(
+        F.col("e").alias("entity"), F.col("v").alias("name")
+    )
+
+
+def q_ann_topk_euclidean(spark, sf_dir):
+    """V1 euclidean metric (similarity.py:37-40, sim = 1 - L2 distance):
+    blocked top-3 join, even vs odd embedding ids."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    return SJ.blocked_topk_join(left, right, k=3, metric="euclidean")
+
+
 def q_alignment_hits(spark, sf_dir):
     """E1-E8 + V2/V4/V5/A7 end-to-end: OntoEA-style joint embedding
     training on the deterministic D-W-15K-style synthetic benchmark, then
@@ -959,6 +1008,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_triples_parse": q_attr_triples_parse,
         "attr_encode": q_attr_encode,
         "neg_sample_antijoin": q_neg_sample_antijoin,
+        "dict_sharing_ids": q_dict_sharing_ids,
+        "sup_attr_swap": q_sup_attr_swap,
+        "name_pairs": q_name_pairs,
+        "ann_topk_euclidean": q_ann_topk_euclidean,
     }
 
 
@@ -1649,6 +1702,53 @@ WHERE NOT EXISTS (
   SELECT 1 FROM eedges e
   WHERE e.s_id = c.h_id AND e.p_id = c.r_id AND e.o_id = c.t_id
 )
+"""
+
+    sql["dict_sharing_ids"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE}, {_RANK_CTE},
+linked2 AS (SELECT DISTINCT e2 AS elem FROM links),
+f2u AS (SELECT elem, CAST(count(*) AS BIGINT) AS freq FROM e2 WHERE elem NOT IN (SELECT elem FROM linked2) GROUP BY elem),
+r2u AS (SELECT elem, freq, CAST(row_number() OVER (ORDER BY freq DESC, elem DESC) - 1 AS BIGINT) AS rank FROM f2u),
+sn1 AS (SELECT count(*) AS c FROM r1),
+sn2 AS (SELECT count(*) AS c FROM r2u),
+base AS (
+  SELECT CAST(1 AS BIGINT) AS kg, elem,
+         CAST(CASE WHEN rank < (SELECT c FROM sn2) THEN 2 * rank
+              ELSE 2 * (SELECT c FROM sn2) + (rank - (SELECT c FROM sn2)) END AS BIGINT) AS id
+  FROM r1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), elem,
+         CAST(CASE WHEN rank < (SELECT c FROM sn1) THEN 2 * rank + 1
+              ELSE 2 * (SELECT c FROM sn1) + (rank - (SELECT c FROM sn1)) END AS BIGINT)
+  FROM r2u
+)
+SELECT kg, elem, id FROM base
+UNION ALL
+SELECT CAST(2 AS BIGINT), l.e2, b.id
+FROM links l JOIN base b ON b.kg = 1 AND b.elem = l.e1
+"""
+
+    sql["sup_attr_swap"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE}, {_ATTR_LINES_CTE},
+attr AS ({_ATTR_PARSED})
+SELECT DISTINCT l.e2 AS e, attr.a, attr.v
+FROM links l JOIN attr ON attr.e = l.e1
+"""
+
+    sql["name_pairs"] = f"""
+WITH {_TRIPLES_CTE}, {_ATTR_LINES_CTE},
+attr AS ({_ATTR_PARSED})
+SELECT e AS entity, v AS name FROM attr WHERE a = 'p:word'
+"""
+
+    sql["ann_topk_euclidean"] = """
+WITH l AS (SELECT vec_id AS lid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 0),
+r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
+s AS (SELECT lid, rid, round(1 - list_distance(l.v, r.v), 6) AS sim FROM l, r),
+srk AS (SELECT lid, rid, sim,
+               CAST(row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS BIGINT) AS rk
+        FROM s)
+SELECT lid, rid, sim, rk FROM srk WHERE rk <= 3
 """
 
     _VB = "CAST(embedding AS DOUBLE[])"

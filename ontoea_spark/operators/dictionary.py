@@ -64,7 +64,12 @@ def ranked_elements(
 
     Returns DataFrame[elem, freq, rank].
     """
-    freqs = element_frequencies(triples, roles)
+    return _rank_freqs(element_frequencies(triples, roles), range_partitions)
+
+
+def _rank_freqs(freqs: DataFrame, range_partitions: int = 32) -> DataFrame:
+    """Two-phase exact rank over a (elem, freq) frame (see
+    :func:`ranked_elements` for the strategy)."""
     part = freqs.repartitionByRange(
         range_partitions, F.desc("freq"), F.desc("elem")
     ).withColumn("pid", F.spark_partition_id())
@@ -92,6 +97,62 @@ def single_kg_ids(
     return ranked_elements(triples, roles).withColumnRenamed("rank", "id")
 
 
+def _interleave(r1: DataFrame, r2: DataFrame) -> DataFrame:
+    """Interleave two ranked frames (read.py:72-83 arithmetic): KG1
+    rank-i -> 2i, KG2 rank-i -> 2i+1 for i < min(n1, n2); tails continue
+    sequentially at 2*min. Input frames: (elem, freq, rank); output adds
+    kg and id."""
+    a = r1.withColumn("kg", F.lit(1).cast("long"))
+    b = r2.withColumn("kg", F.lit(2).cast("long"))
+    n1 = a.agg(F.count("*").alias("n_other")).withColumn("kg", F.lit(2).cast("long"))
+    n2 = b.agg(F.count("*").alias("n_other")).withColumn("kg", F.lit(1).cast("long"))
+    joined = a.unionByName(b).join(F.broadcast(n1.unionByName(n2)), "kg")
+    ident = F.when(
+        F.col("rank") < F.col("n_other"),
+        F.lit(2) * F.col("rank") + (F.col("kg") - F.lit(1)),
+    ).otherwise(F.lit(2) * F.col("n_other") + (F.col("rank") - F.col("n_other")))
+    return joined.select(
+        "kg", "elem", "freq", "rank", ident.cast("long").alias("id")
+    )
+
+
+def sharing_ids(
+    triples1: DataFrame,
+    triples2: DataFrame,
+    train_links: DataFrame,
+    roles: tuple[str, ...] = ("s", "o"),
+) -> DataFrame:
+    """D4 ``generate_sharing_id`` ordered path (read.py:29-61): aligned
+    train-link pairs share one id — KG2's linked elements are removed
+    before ranking/interleaving, then each linked e2 inherits its e1
+    partner's id.
+
+    train_links: DataFrame[e1, e2]. Returns (kg, elem, id); ``rank`` and
+    ``freq`` only cover the elements that went through the interleave
+    (linked e2 rows carry NULLs there).
+    """
+    r1 = ranked_elements(triples1, roles)
+    f2 = element_frequencies(triples2, roles)
+    linked2 = train_links.select(F.col("e2").alias("elem")).distinct()
+    f2_unlinked = f2.join(F.broadcast(linked2), "elem", "left_anti")
+    r2 = _rank_freqs(f2_unlinked)
+    base = _interleave(r1, r2)
+    ids1 = base.filter("kg = 1").select(
+        F.col("elem").alias("e1"), F.col("id").alias("shared_id")
+    )
+    linked_rows = (
+        train_links.join(F.broadcast(ids1), "e1")
+        .select(
+            F.lit(2).cast("long").alias("kg"),
+            F.col("e2").alias("elem"),
+            F.lit(None).cast("long").alias("freq"),
+            F.lit(None).cast("long").alias("rank"),
+            F.col("shared_id").alias("id"),
+        )
+    )
+    return base.unionByName(linked_rows)
+
+
 def interleaved_ids(
     triples1: DataFrame,
     triples2: DataFrame,
@@ -103,20 +164,8 @@ def interleaved_ids(
     Stays lazy: the n1/n2 scalars join in via a broadcast 1-row aggregate
     instead of driver-side count() actions.
     """
-    r1 = ranked_elements(triples1, roles).withColumn("kg", F.lit(1).cast("long"))
-    r2 = ranked_elements(triples2, roles).withColumn("kg", F.lit(2).cast("long"))
-    n1 = r1.agg(F.count("*").alias("n_other")).withColumn("kg", F.lit(2).cast("long"))
-    n2 = r2.agg(F.count("*").alias("n_other")).withColumn("kg", F.lit(1).cast("long"))
-    both = r1.unionByName(r2)
-    sizes = n1.unionByName(n2)
-    joined = both.join(F.broadcast(sizes), "kg")
-    # rank < n_other: interleave (2*rank + kg-1); else: tail at 2*n_other
-    ident = F.when(
-        F.col("rank") < F.col("n_other"),
-        F.lit(2) * F.col("rank") + (F.col("kg") - F.lit(1)),
-    ).otherwise(F.lit(2) * F.col("n_other") + (F.col("rank") - F.col("n_other")))
-    return joined.select(
-        "kg", "elem", "freq", "rank", ident.cast("long").alias("id")
+    return _interleave(
+        ranked_elements(triples1, roles), ranked_elements(triples2, roles)
     )
 
 

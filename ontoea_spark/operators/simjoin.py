@@ -35,6 +35,31 @@ from pyspark.sql import functions as F
 from ontoea_spark.functions.hashing import portable_hash64
 
 
+def _block_scores(lm, rm, metric: str):
+    """Per-block pairwise scores (similarity.py:33-49 semantics):
+    'inner' raw dot; 'cosine' normalize-then-dot; 'euclidean' 1 - L2
+    distance; 'manhattan' 1 - cityblock distance."""
+    if metric in ("cosine", "inner"):
+        if metric == "cosine":
+            ln = np.linalg.norm(lm, axis=1, keepdims=True)
+            rn = np.linalg.norm(rm, axis=1, keepdims=True)
+            ln[ln == 0] = 1.0
+            rn[rn == 0] = 1.0
+            lm = lm / ln
+            rm = rm / rn
+        return lm @ rm.T
+    if metric == "euclidean":
+        sq = (
+            np.sum(lm * lm, axis=1)[:, None]
+            + np.sum(rm * rm, axis=1)[None, :]
+            - 2.0 * (lm @ rm.T)
+        )
+        return 1.0 - np.sqrt(np.maximum(sq, 0.0))
+    if metric == "manhattan":
+        return 1.0 - np.abs(lm[:, None, :] - rm[None, :, :]).sum(axis=2)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, n_blocks: int, side: str) -> DataFrame:
     b = F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).alias(f"{side}b")
     return (
@@ -78,7 +103,6 @@ def blocked_topk_join(
     lp = _pack_blocks(left, left_id, left_vec, n_left_blocks, "l")
     rp = _pack_blocks(right, right_id, right_vec, n_right_blocks, "r")
     pairs = lp.crossJoin(rp)
-    normalize = metric == "cosine"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,14 +112,7 @@ def blocked_topk_join(
                 rids = np.asarray(row.rids, dtype=np.int64)
                 lm = np.array([np.asarray(v, dtype=np.float64) for v in row.lvecs])
                 rm = np.array([np.asarray(v, dtype=np.float64) for v in row.rvecs])
-                if normalize:
-                    ln = np.linalg.norm(lm, axis=1, keepdims=True)
-                    rn = np.linalg.norm(rm, axis=1, keepdims=True)
-                    ln[ln == 0] = 1.0
-                    rn[rn == 0] = 1.0
-                    lm = lm / ln
-                    rm = rm / rn
-                sims = lm @ rm.T  # (nl, nr) float64
+                sims = _block_scores(lm, rm, metric)  # (nl, nr) float64
                 if exclude_self:
                     sims[lids[:, None] == rids[None, :]] = -np.inf
                 kk = min(k, sims.shape[1])
@@ -146,11 +163,9 @@ def all_pairs_scores(
     """Full pairwise score table DataFrame[lid, rid, sim] (blocked matmul,
     no top-k pruning). Use only at evaluation scale — this IS n1 x n2 rows;
     the scale path is :func:`blocked_topk_join`."""
-    big_k = 1 << 31
     lp = _pack_blocks(left, left_id, left_vec, n_left_blocks, "l")
     rp = _pack_blocks(right, right_id, right_vec, n_right_blocks, "r")
     pairs = lp.crossJoin(rp)
-    normalize = metric == "cosine"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,14 +174,7 @@ def all_pairs_scores(
                 rids = np.asarray(row.rids, dtype=np.int64)
                 lm = np.array([np.asarray(v, dtype=np.float64) for v in row.lvecs])
                 rm = np.array([np.asarray(v, dtype=np.float64) for v in row.rvecs])
-                if normalize:
-                    ln = np.linalg.norm(lm, axis=1, keepdims=True)
-                    rn = np.linalg.norm(rm, axis=1, keepdims=True)
-                    ln[ln == 0] = 1.0
-                    rn[rn == 0] = 1.0
-                    lm = lm / ln
-                    rm = rm / rn
-                sims = lm @ rm.T
+                sims = _block_scores(lm, rm, metric)
                 nl, nr = sims.shape
                 yield pd.DataFrame(
                     {

@@ -53,6 +53,7 @@ class AlignmentData:
     cv_ids: DataFrame               # (ent_id, cls_id)
     cls_ids: DataFrame              # (cls, cls_id)
     sub_ids: np.ndarray             # [m, 2] (child_cls_id, parent_cls_id)
+    onto_mat: np.ndarray            # [n_cls, n_cls] conflict matrix (G5)
     n_ent: int
     n_rel: int
     n_cls: int
@@ -124,15 +125,28 @@ def prepare_from_parts(
     sub_arr = np.array(
         [[r.child_id, r.parent_id] for r in sub_j.collect()], dtype=np.int64
     ).reshape(-1, 2)
+
+    # conflict matrix (G5, check_type_coherence with v5): distributed
+    # pair scoring -> small dense broadcastable matrix for E5
+    from ontoea_spark.ontology import compat as OC
+
+    cpd = OT.disjoint_targets(OT.class_paths(sub, iters=8), _disj)
+    compat = OC.compat_pairs(cpd, version=5, k=1.0)
+    n_cls = cls_ids.count()
+    onto_mat = np.zeros((n_cls, n_cls), dtype=np.float64)
+    id_of = {r.cls: r.cls_id for r in cls_ids.collect()}
+    for r in compat.collect():
+        onto_mat[id_of[r.c1], id_of[r.c2]] = r.score
     return AlignmentData(
         edges=edges,
         links_split=links_split,
         cv_ids=cv_ids,
         cls_ids=cls_ids,
         sub_ids=sub_arr,
+        onto_mat=onto_mat,
         n_ent=ent_ids.count(),
         n_rel=rel_ids.count(),
-        n_cls=cls_ids.count(),
+        n_cls=n_cls,
     )
 
 
@@ -187,7 +201,9 @@ def train(data: AlignmentData, cfg: TrainConfig | None = None) -> OntoEATrainer:
         dtype=np.int64,
     ).reshape(-1, 2)
     model = OntoEATrainer(data.n_ent, data.n_rel, data.n_cls, cfg)
-    model.fit(triples, data.sub_ids, cv, tr, valid_links=va)
+    model.fit(
+        triples, data.sub_ids, cv, tr, valid_links=va, onto_mat=data.onto_mat
+    )
     return model
 
 

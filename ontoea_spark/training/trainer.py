@@ -209,6 +209,23 @@ class OntoEATrainer:
         self.ent = _l2_rows(self.ent)
         return float(loss)
 
+    # -- E5: conflict-matrix likelihood ----------------------------------
+    def step_likelihood(self, onto_mat: np.ndarray, sigma: float = 1.0) -> float:
+        """E5 (ontoea.py:268-280): L = -Σ M ⊙ log σ(C·Cᵀ) — pull class
+        embeddings of compatible classes together, push conflicting ones
+        apart, weighted by the conflict matrix M (weight ``sigma``). The
+        reference slices rows per step (likelihood_slice) to bound GPU
+        memory; the full matrix fits trivially here (classes are few)."""
+        C = self.onto
+        S = C @ C.T
+        sig = 1.0 / (1.0 + np.exp(-S))
+        loss = -float(np.sum(onto_mat * np.log(np.clip(sig, 1e-12, None))))
+        dS = -onto_mat * (1.0 - sig)
+        g = (dS + dS.T) @ C
+        self._opt_onto.step(self.onto, sigma * g)
+        self.onto = _l2_rows(self.onto)
+        return loss
+
     # -- E6: alignment mapping -----------------------------------------
     def step_mapping(self, train_links: np.ndarray) -> float:
         c = self.cfg
@@ -247,6 +264,7 @@ class OntoEATrainer:
         cv_links: np.ndarray,
         train_links: np.ndarray,
         valid_links: np.ndarray | None = None,
+        onto_mat: np.ndarray | None = None,
         log: list | None = None,
     ) -> "OntoEATrainer":
         c = self.cfg
@@ -257,6 +275,8 @@ class OntoEATrainer:
             for i in range(0, len(triples), bs):
                 self.step_triples(triples[order[i : i + bs]])
             self.step_hierarchy(sub_edges)
+            if onto_mat is not None:
+                self.step_likelihood(onto_mat)
             self.step_membership(cv_links)
             self.step_mapping(train_links)
             if (
