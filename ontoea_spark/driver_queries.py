@@ -942,6 +942,32 @@ def q_ann_topk_euclidean(spark, sf_dir):
     return SJ.blocked_topk_join(left, right, k=3, metric="euclidean")
 
 
+def q_class_complete_full(spark, sf_dir):
+    """Full G8: class completion by relation with greedy entropy descent
+    (inference.py:193-282) — iterative driver-coordinated rounds, no SQL
+    oracle; parity gated by tests/test_completion_golden.py."""
+    from ontoea_spark.ontology.completion import complete_classes
+
+    t1 = _triples(spark, sf_dir, "kg1")
+    cv = _cv_fixture(spark, sf_dir)
+    cpd = _onto_cpd(spark, sf_dir)
+    # fixture tree depth is 4 -> 4 descent rounds suffice
+    return complete_classes(t1, cv, cpd.select("cls", "path"), max_depth=4)
+
+
+def q_salted_degree_join(spark, sf_dir):
+    """Skew handling (north rule): hub-entity fact⨝dim join with explicit
+    deterministic salting — dim replicated per salt, fact scattered by
+    content hash. Result rows identical to the unsalted join."""
+    from ontoea_spark.operators.salting import salted_join
+
+    t1 = _triples(spark, sf_dir, "kg1")
+    deg = t1.groupBy(F.col("s")).agg(F.count("*").alias("out_deg"))
+    return salted_join(t1, deg, key="s", n_salts=4, salt_src="o").select(
+        "s", "p", "o", F.col("out_deg").cast("long").alias("out_deg")
+    )
+
+
 def q_alignment_hits(spark, sf_dir):
     """E1-E8 + V2/V4/V5/A7 end-to-end: OntoEA-style joint embedding
     training on the deterministic D-W-15K-style synthetic benchmark, then
@@ -1012,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sup_attr_swap": q_sup_attr_swap,
         "name_pairs": q_name_pairs,
         "ann_topk_euclidean": q_ann_topk_euclidean,
+        "salted_degree_join": q_salted_degree_join,
+        "class_complete_full": q_class_complete_full,
     }
 
 
@@ -1749,6 +1777,12 @@ srk AS (SELECT lid, rid, sim,
                CAST(row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS BIGINT) AS rk
         FROM s)
 SELECT lid, rid, sim, rk FROM srk WHERE rk <= 3
+"""
+
+    sql["salted_degree_join"] = f"""
+WITH {_TRIPLES_CTE},
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS out_deg FROM t1 GROUP BY s)
+SELECT t1.s, t1.p, t1.o, deg.out_deg FROM t1 JOIN deg USING (s)
 """
 
     _VB = "CAST(embedding AS DOUBLE[])"

@@ -1,0 +1,70 @@
+"""Explicit skew salting for hub-entity joins (BASELINE.json north rule:
+"salted repartitioning for skewed hub entities").
+
+Web-scale KGs are scale-free: a handful of hub entities carry a huge
+share of triples, so an equi-join keyed on entity funnels those rows
+into single reducer tasks. AQE's skew-join split handles *sort-merge*
+cases adaptively; this module is the explicit, deterministic variant
+that also covers aggregations and works regardless of join strategy:
+
+* :func:`salted_join` — replicate the small/dim side ``n_salts`` times,
+  scatter the fact side by a deterministic hash salt, join on
+  (key, salt). Result rows are identical to the unsalted join; the skew
+  key's rows spread over ``n_salts`` tasks.
+* :func:`salted_count` — two-stage aggregation through a salted
+  partial: groupBy (key, salt) -> partial counts -> final groupBy key.
+  (Spark's hash aggregate already does map-side partials; the explicit
+  form matters when the *reduce* keys themselves are too hot, e.g.
+  count-distinct-like states.)
+
+Salts are ``pmod(portable_hash64(row-identity), n_salts)`` — no RNG, so
+results and partitioning are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontoea_spark.functions.hashing import portable_hash64
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_src: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` (skewed on ``key``) with ``dim`` by replicating dim
+    across ``n_salts`` salt values. ``salt_src``: column whose hash
+    scatters fact rows (defaults to the whole-row-ish first non-key
+    column; pass an id column for stability).
+
+    Returns the same rows as ``fact.join(dim, key, how)`` with fact
+    columns first.
+    """
+    src = salt_src or [c for c in fact.columns if c != key][0]
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(portable_hash64(F.col(src).cast("string")), F.lit(n_salts))
+    )
+    salts = (
+        dim.sparkSession.range(n_salts)
+        .select(F.col("id").cast("long").alias("__salt"))
+    )
+    dim_r = dim.crossJoin(F.broadcast(salts))
+    out = fact_s.join(dim_r, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Two-stage count by ``key`` through a salted partial aggregate.
+    Output: DataFrame[<key>, n: bigint] — identical to
+    ``df.groupBy(key).count()``."""
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("pc"))
+    return partial.groupBy(key).agg(F.sum("pc").cast("long").alias("n"))

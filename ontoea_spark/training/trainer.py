@@ -54,6 +54,9 @@ class TrainConfig:
     seed: int = 42
     eval_freq: int = 10
     early_stop_declines: int = 2
+    # B5 (batch.py:210-265): seed negatives drawn from the corrupted
+    # side's *own class* when known ('type_based'), else uniform
+    seed_neg_method: str = "type_based"
 
 
 class Adagrad:
@@ -226,13 +229,57 @@ class OntoEATrainer:
         self.onto = _l2_rows(self.onto)
         return loss
 
+    # -- B5: type-based negative pool -------------------------------------
+    def set_class_pools(self, cv_links: np.ndarray) -> None:
+        """Build the onto2ent inverse index (kgs.py:169-196 G7) for
+        type-based seed negatives: per entity its class id (-1 if
+        untyped) and a flattened per-class entity pool."""
+        ent_cls = np.full(len(self.ent), -1, dtype=np.int64)
+        if len(cv_links):
+            ent_cls[cv_links[:, 0]] = cv_links[:, 1]
+        order = np.argsort(cv_links[:, 1], kind="stable") if len(cv_links) else []
+        flat = cv_links[order, 0] if len(cv_links) else np.array([], dtype=np.int64)
+        n_cls = len(self.onto)
+        counts = (
+            np.bincount(cv_links[:, 1], minlength=n_cls)
+            if len(cv_links)
+            else np.zeros(n_cls, dtype=np.int64)
+        )
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        self._ent_cls = ent_cls
+        self._cls_pool_flat = flat
+        self._cls_pool_off = offsets
+        self._cls_pool_cnt = counts
+
+    def _seed_negatives(self, e2: np.ndarray) -> np.ndarray:
+        """Type-based corruption of the e2 side: same-class sample when
+        the entity is typed and its class pool has >1 member, uniform
+        fallback otherwise (batch.py:210-265)."""
+        n = len(e2)
+        uniform = self.rng.integers(0, len(self.ent), size=n)
+        if (
+            self.cfg.seed_neg_method != "type_based"
+            or getattr(self, "_ent_cls", None) is None
+        ):
+            return uniform
+        cs = self._ent_cls[e2]
+        cnt = np.where(cs >= 0, self._cls_pool_cnt[np.maximum(cs, 0)], 0)
+        draws = (self.rng.random(n) * np.maximum(cnt, 1)).astype(np.int64)
+        typed = self._cls_pool_flat[
+            np.minimum(
+                self._cls_pool_off[np.maximum(cs, 0)] + draws,
+                max(len(self._cls_pool_flat) - 1, 0),
+            )
+        ] if len(self._cls_pool_flat) else uniform
+        return np.where(cnt > 1, typed, uniform)
+
     # -- E6: alignment mapping -----------------------------------------
     def step_mapping(self, train_links: np.ndarray) -> float:
         c = self.cfg
         if len(train_links) == 0:
             return 0.0
         e1, e2 = train_links[:, 0], train_links[:, 1]
-        ne2 = self.rng.integers(0, len(self.ent), size=len(train_links))
+        ne2 = self._seed_negatives(e2)
         m = self.mapping
         p1 = self.ent[e1] @ m
         pos_d = p1 - self.ent[e2]
@@ -270,6 +317,8 @@ class OntoEATrainer:
         c = self.cfg
         best, declines = -1.0, 0
         bs = c.batch_size
+        if c.seed_neg_method == "type_based" and len(cv_links):
+            self.set_class_pools(cv_links)
         for epoch in range(c.epochs):
             order = self.rng.permutation(len(triples))
             for i in range(0, len(triples), bs):
