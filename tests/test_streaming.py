@@ -1,0 +1,95 @@
+"""Streaming-equals-batch: the Structured Streaming ingest over the same
+pages files must produce exactly the batch windowed counts."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import REPO, SF_SMOKE  # noqa: F401
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_mention_counts_match_batch(spark, tmp_path):
+    from ontoea_spark.pipeline.extract import extract_mentions, extract_pages_text
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.streaming.ingest import (
+        read_pages_stream,
+        run_available_now,
+        streaming_mention_counts,
+    )
+
+    pages = synthesize_pages(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    src = str(tmp_path / "pages_stream")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    pages.repartition(6).write.parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=2)
+    counts = streaming_mention_counts(stream, window="1 hour", watermark="2 hours")
+    run_available_now(counts, str(tmp_path / "cp"), "stream_counts")
+    got = {
+        (r.win_start, r.win_end, r.p): r.n
+        for r in spark.table("stream_counts").collect()
+    }
+
+    batch = (
+        extract_mentions(
+            extract_pages_text(pages).select("url", "warc_ts", "text")
+        )
+        .withColumn("ts", F.col("warc_ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("p"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "p",
+            "n",
+        )
+    )
+    want = {(r.win_start, r.win_end, r.p): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stateful_cumulative_counts(spark, tmp_path):
+    from ontoea_spark.pipeline.extract import extract_mentions, extract_pages_text
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.streaming.ingest import read_pages_stream
+    from ontoea_spark.streaming.stateful import cumulative_counts
+
+    pages = synthesize_pages(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    src = str(tmp_path / "pages_stream2")
+    pages.repartition(5).write.parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=2)
+    mentions = extract_mentions(
+        extract_pages_text(stream).select("url", "text")
+    )
+    q = (
+        cumulative_counts(mentions)
+        .writeStream.format("memory")
+        .queryName("cum_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # totals are monotone per key -> max(update) == final running total
+    got = {
+        r.p: r.total
+        for r in spark.sql(
+            "SELECT p, max(total) AS total FROM cum_counts GROUP BY p"
+        ).collect()
+    }
+    batch = extract_mentions(
+        extract_pages_text(pages).select("url", "text")
+    )
+    want = {
+        r.p: r.n
+        for r in batch.groupBy("p").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
