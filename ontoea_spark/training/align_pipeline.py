@@ -54,6 +54,7 @@ class AlignmentData:
     cls_ids: DataFrame              # (cls, cls_id)
     sub_ids: np.ndarray             # [m, 2] (child_cls_id, parent_cls_id)
     onto_mat: np.ndarray            # [n_cls, n_cls] conflict matrix (G5)
+    cls_path_ids: dict              # class_id -> [leaf_id, ..., root_id] (G2)
     n_ent: int
     n_rel: int
     n_cls: int
@@ -137,6 +138,10 @@ def prepare_from_parts(
     id_of = {r.cls: r.cls_id for r in cls_ids.collect()}
     for r in compat.collect():
         onto_mat[id_of[r.c1], id_of[r.c2]] = r.score
+    cls_path_ids = {
+        id_of[r.cls]: [id_of[x] for x in r.path]
+        for r in cpd.select("cls", "path").collect()
+    }
     return AlignmentData(
         edges=edges,
         links_split=links_split,
@@ -144,6 +149,7 @@ def prepare_from_parts(
         cls_ids=cls_ids,
         sub_ids=sub_arr,
         onto_mat=onto_mat,
+        cls_path_ids=cls_path_ids,
         n_ent=ent_ids.count(),
         n_rel=rel_ids.count(),
         n_cls=n_cls,
@@ -219,11 +225,17 @@ def evaluate(
     split: str = "test",
     gamma: float = 0.2,
     top_k: tuple[int, ...] = (1, 5, 10),
+    type_mode: str = "compat",
+    delay_weight: float = 1.0,
 ) -> DataFrame:
     """Distributed fused evaluation on one split (V4/V5/J8/J11/A7):
-    sim = inner(map(e1), e2) + gamma * compat_v5(cls(e1), cls(e2)) over
+    sim = inner(map(e1), e2) + gamma * type_score(cls(e1), cls(e2)) over
     the split's candidate space (test e1 x test e2 — the reference's test
-    protocol, ontoea.py:709-761)."""
+    protocol, ontoea.py:709-761).
+
+    type_mode 'compat': v5 class-compatibility scores (J11);
+    type_mode 'path': V6 — cosine of the decay-mask-weighted class-path
+    embeddings (G2/ontoea.py:656-681, delay_weight semantics)."""
     from ontoea_spark.ontology import compat as OC
     from ontoea_spark.ontology import fixture as OF
     from ontoea_spark.ontology import tree as OT
@@ -238,10 +250,33 @@ def evaluate(
     right = _embed_df(spark, ids2, norm2)
     scores = SJ.all_pairs_scores(left, right, metric="inner", round_to=None)
 
-    leaf = data.cls_ids.select("cls").filter(F.col("cls").like("cls%"))
-    sub, disj = OF.synth_ontology(spark, leaf)
-    cpd = OT.disjoint_targets(OT.class_paths(sub, iters=4), disj)
-    compat = OC.compat_pairs(cpd, version=5, k=1.0)
+    if type_mode == "path":
+        from ontoea_spark.ontology.pathmask import (
+            padding_class_path,
+            path_weighted_embeds,
+        )
+
+        _d, pmat, mmat, order = padding_class_path(
+            data.cls_path_ids, delay_weight=delay_weight
+        )
+        W = path_weighted_embeds(model.onto, pmat, mmat)
+        nw = np.linalg.norm(W, axis=1, keepdims=True)
+        nw[nw == 0] = 1.0
+        Wn = W / nw
+        name_of = {r.cls_id: r.cls for r in data.cls_ids.collect()}
+        rows = [
+            (name_of[ci], name_of[cj], float(Wn[i] @ Wn[j]))
+            for i, ci in enumerate(order)
+            for j, cj in enumerate(order)
+        ]
+        compat = spark.createDataFrame(
+            rows, "c1 string, c2 string, score double"
+        )
+    else:
+        leaf = data.cls_ids.select("cls").filter(F.col("cls").like("cls%"))
+        sub, disj = OF.synth_ontology(spark, leaf)
+        cpd = OT.disjoint_targets(OT.class_paths(sub, iters=4), disj)
+        compat = OC.compat_pairs(cpd, version=5, k=1.0)
     lcls = data.cv_ids.withColumnRenamed("ent_id", "lid").join(
         data.cls_ids, "cls_id"
     ).select("lid", F.col("cls").alias("c1"))
