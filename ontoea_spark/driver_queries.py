@@ -316,8 +316,12 @@ def q_q1_pricing(spark, sf_dir):
     """TPC-H Q1 shape: decimal-exact aggregates (A1/A4 analogue)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
+    # direct NTZ-literal comparison (not unix_timestamp(col)) so the
+    # predicate pushes into the parquet scan; equals epoch <= cutoff
+    # because the NTZ wall clock is UTC by convention
+    cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
     return (
-        li.filter(_epoch(F.col("l_shipdate")) <= _SHIPDATE_CUTOFF)
+        li.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -955,6 +959,102 @@ def q_class_complete_full(spark, sf_dir):
     return complete_classes(t1, cv, cpd.select("cls", "path"), max_depth=4)
 
 
+def q_cv_revision(spark, sf_dir):
+    """J6 cv-link revision (kgs.py:139-155): where an entity's seed type
+    (its gold partner's class) disagrees with its own cv class, the seed
+    type wins. Output the revised crossview table (both KGs)."""
+    t1 = _triples(spark, sf_dir, "kg1")
+    t2 = _triples(spark, sf_dir, "kg2")
+    links = gold_links(t1, t2)
+    cv = _cv_fixture(spark, sf_dir)
+    seed1 = links.join(
+        cv.withColumnRenamed("entity", "e2").withColumnRenamed("cls", "seed_cls"),
+        "e2",
+    ).select(F.col("e1").alias("entity"), "seed_cls")
+    seed2 = links.join(
+        cv.withColumnRenamed("entity", "e1").withColumnRenamed("cls", "seed_cls"),
+        "e1",
+    ).select(F.col("e2").alias("entity"), "seed_cls")
+    seeds = seed1.unionByName(seed2)
+    return (
+        cv.join(F.broadcast(seeds), "entity", "left")
+        .select(
+            "entity",
+            F.when(
+                F.col("seed_cls").isNotNull()
+                & (F.col("seed_cls") != F.col("cls")),
+                F.col("seed_cls"),
+            )
+            .otherwise(F.col("cls"))
+            .alias("cls"),
+        )
+    )
+
+
+def q_predict_type_check(spark, sf_dir):
+    """J7 check_predict_type (inference.py:285-317): classify each gold
+    link's class pair as same / contain (v2 flag 1) / conflict."""
+    t1 = _triples(spark, sf_dir, "kg1")
+    t2 = _triples(spark, sf_dir, "kg2")
+    links = gold_links(t1, t2)
+    cv = _cv_fixture(spark, sf_dir)
+    cpd = _onto_cpd(spark, sf_dir)
+    pairs = (
+        links.join(
+            cv.withColumnRenamed("entity", "e1").withColumnRenamed("cls", "c1"),
+            "e1",
+        )
+        .join(
+            cv.withColumnRenamed("entity", "e2").withColumnRenamed("cls", "c2"),
+            "e2",
+        )
+        .select("e1", "c1", "c2")
+    )
+    scored = OC.score_pairs(pairs, cpd, version=2, unsure_w=0.5)
+    return scored.select(
+        "e1",
+        "c1",
+        "c2",
+        F.when(F.col("c1") == F.col("c2"), "same")
+        .when(F.col("score") == 1.0, "contain")
+        .otherwise("conflict")
+        .alias("category"),
+    )
+
+
+def q_word2vec_parse(spark, sf_dir):
+    """S10 _read_word2vec (ontoea.py:68-82): parse '.vec' lines —
+    exactly dim+1 space-separated tokens, numeric tail, lowercase word;
+    malformed lines skipped."""
+    e1 = FLT.parse_entities(_triples(spark, sf_dir, "kg1"))
+    word = F.expr("substr(entity, 5)")
+    lines = e1.select(
+        F.concat(
+            F.upper(word), F.lit(" "),
+            (F.length(word) * 0.5).cast("string"), F.lit(" "),
+            (F.ascii(word) / 10.0).cast("string"), F.lit(" 1.5"),
+        ).alias("value")
+    ).unionByName(
+        spark.createDataFrame(
+            [("badline 1.0",), ("word x y z",)], "value string"
+        )
+    )
+    toks = F.split(F.col("value"), " ")
+    parsed = lines.select(toks.alias("t")).filter(F.size("t") == 4)
+    num = r"^-?[0-9]+(\.[0-9]+)?([eE]-?[0-9]+)?$"
+    ok = (
+        F.get("t", 1).rlike(num)
+        & F.get("t", 2).rlike(num)
+        & F.get("t", 3).rlike(num)
+    )
+    return parsed.filter(ok).select(
+        F.lower(F.get("t", 0)).alias("word"),
+        F.round(F.get("t", 1).cast("double"), 6).alias("v1"),
+        F.round(F.get("t", 2).cast("double"), 6).alias("v2"),
+        F.round(F.get("t", 3).cast("double"), 6).alias("v3"),
+    )
+
+
 def q_salted_degree_join(spark, sf_dir):
     """Skew handling (north rule): hub-entity fact⨝dim join with explicit
     deterministic salting — dim replicated per salt, fact scattered by
@@ -1040,6 +1140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_euclidean": q_ann_topk_euclidean,
         "salted_degree_join": q_salted_degree_join,
         "class_complete_full": q_class_complete_full,
+        "cv_revision": q_cv_revision,
+        "predict_type_check": q_predict_type_check,
+        "word2vec_parse": q_word2vec_parse,
     }
 
 
@@ -1783,6 +1886,77 @@ SELECT lid, rid, sim, rk FROM srk WHERE rk <= 3
 WITH {_TRIPLES_CTE},
 deg AS (SELECT s, CAST(count(*) AS BIGINT) AS out_deg FROM t1 GROUP BY s)
 SELECT t1.s, t1.p, t1.o, deg.out_deg FROM t1 JOIN deg USING (s)
+"""
+
+    sql["cv_revision"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE}, {_CV_CTE},
+seeds AS (
+  SELECT l.e1 AS entity, c.cls AS seed_cls FROM links l JOIN cv c ON c.entity = l.e2
+  UNION ALL
+  SELECT l.e2, c.cls FROM links l JOIN cv c ON c.entity = l.e1
+)
+SELECT cv.entity,
+       CASE WHEN s.seed_cls IS NOT NULL AND s.seed_cls != cv.cls
+            THEN s.seed_cls ELSE cv.cls END AS cls
+FROM cv LEFT JOIN seeds s ON s.entity = cv.entity
+"""
+
+    T2 = OF.SQL_THING
+    sql["predict_type_check"] = f"""
+WITH RECURSIVE {_ONTO_CTE}, {_LINKS_CTE},
+lp AS (
+  SELECT l.e1 AS e1, cv1.cls AS c1, cv2.cls AS c2
+  FROM links l JOIN cv cv1 ON cv1.entity = l.e1 JOIN cv cv2 ON cv2.entity = l.e2
+),
+pj AS (
+  SELECT lp.e1, lp.c1, lp.c2, a.path AS pa, b.path AS pb,
+         (len(list_intersect(a.dtargets, b.path)) > 0
+          OR len(list_intersect(b.dtargets, a.path)) > 0) AS disjf,
+         coalesce(
+           nullif(list_position(
+             [a.path[len(a.path)-i+1] IS DISTINCT FROM b.path[len(b.path)-i+1]
+              for i in range(1, least(len(a.path), len(b.path))+1)],
+             true), 0) - 1,
+           least(len(a.path), len(b.path))) AS sl
+  FROM lp JOIN cpd a ON a.cls = lp.c1 JOIN cpd b ON b.cls = lp.c2
+)
+SELECT e1, c1, c2, CASE
+  WHEN c1 = c2 THEN 'same'
+  WHEN (CASE
+    WHEN disjf THEN -1.0
+    WHEN len(pa)=1 AND len(pb)=1 AND pa[1]='{T2}' THEN 0.5
+    WHEN sl = len(pa) OR sl = len(pb) THEN
+      CASE WHEN sl = len(pa) AND pa[1] = '{T2}' THEN 0.5
+           WHEN sl = len(pb) AND pb[1] = '{T2}' THEN 0.5
+           ELSE 1.0 END
+    ELSE CASE WHEN sl = 0 OR pa[len(pa)-sl+1] = '{T2}' THEN -1.0 ELSE 1.0 END
+  END) = 1.0 THEN 'contain'
+  ELSE 'conflict' END AS category
+FROM pj
+"""
+
+    _NUM_RE = "^-?[0-9]+(\\.[0-9]+)?([eE]-?[0-9]+)?$"
+    sql["word2vec_parse"] = f"""
+WITH {_TRIPLES_CTE},
+w2v_ents AS (SELECT DISTINCT e AS entity FROM (SELECT s AS e FROM t1 UNION ALL SELECT o FROM t1)),
+w2v_lines AS (
+  SELECT upper(substr(entity, 5)) || ' ' ||
+         CAST(length(substr(entity, 5)) * 0.5 AS VARCHAR) || ' ' ||
+         CAST(ascii(substr(entity, 5)) / 10.0 AS VARCHAR) || ' 1.5' AS value
+  FROM w2v_ents
+  UNION ALL SELECT 'badline 1.0'
+  UNION ALL SELECT 'word x y z'
+),
+toks AS (SELECT string_split(value, ' ') AS t FROM w2v_lines)
+SELECT lower(t[1]) AS word,
+       round(CAST(t[2] AS DOUBLE), 6) AS v1,
+       round(CAST(t[3] AS DOUBLE), 6) AS v2,
+       round(CAST(t[4] AS DOUBLE), 6) AS v3
+FROM toks
+WHERE len(t) = 4
+  AND regexp_matches(t[2], '{_NUM_RE}')
+  AND regexp_matches(t[3], '{_NUM_RE}')
+  AND regexp_matches(t[4], '{_NUM_RE}')
 """
 
     _VB = "CAST(embedding AS DOUBLE[])"

@@ -176,6 +176,36 @@ def compat_pairs(
     )
 
 
+def score_pairs(
+    pairs: DataFrame,
+    paths_with_disj: DataFrame,
+    version: int = 5,
+    k: float = 0.0,
+    unsure_w: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Compatibility score for an explicit (c1, c2) pair table (instead
+    of the all-pairs cross join) — the J7/J11 lookup shape. Returns the
+    input columns + ``score``."""
+    fn = _VERSIONS[version]
+    a = paths_with_disj.select(
+        F.col("cls").alias("c1"), F.col("path").alias("pa"), F.col("disj").alias("da")
+    )
+    b = paths_with_disj.select(
+        F.col("cls").alias("c2"), F.col("path").alias("pb"), F.col("disj").alias("db")
+    )
+    score = fn(
+        F.col("c1"), F.col("c2"), F.col("pa"), F.col("pb"),
+        F.col("da"), F.col("db"), F.lit(float(k)), float(unsure_w),
+    )
+    return (
+        pairs.join(F.broadcast(a), "c1")
+        .join(F.broadcast(b), "c2")
+        .withColumn("score", F.round(score.cast("double"), round_to))
+        .drop("pa", "pb", "da", "db")
+    )
+
+
 def calibrate_seed_pairs(
     compat: DataFrame, seed_class_pairs: DataFrame
 ) -> DataFrame:
