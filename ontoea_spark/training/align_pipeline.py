@@ -227,6 +227,7 @@ def evaluate(
     top_k: tuple[int, ...] = (1, 5, 10),
     type_mode: str = "compat",
     delay_weight: float = 1.0,
+    csls_k: int = 0,
 ) -> DataFrame:
     """Distributed fused evaluation on one split (V4/V5/J8/J11/A7):
     sim = inner(map(e1), e2) + gamma * type_score(cls(e1), cls(e2)) over
@@ -235,7 +236,9 @@ def evaluate(
 
     type_mode 'compat': v5 class-compatibility scores (J11);
     type_mode 'path': V6 — cosine of the decay-mask-weighted class-path
-    embeddings (G2/ontoea.py:656-681, delay_weight semantics)."""
+    embeddings (G2/ontoea.py:656-681, delay_weight semantics).
+    csls_k > 0: CSLS-rescale the fused scores before ranking (T4, the
+    reference's third evaluation pass, evaluation.py:5-36)."""
     from ontoea_spark.ontology import compat as OC
     from ontoea_spark.ontology import fixture as OF
     from ontoea_spark.ontology import tree as OT
@@ -293,6 +296,10 @@ def evaluate(
         )
         .select("lid", "rid", F.round("sim", 9).alias("sim"))
     )
+    if csls_k > 0:
+        fused = SJ.csls_rescale(fused, k=csls_k, round_to=9).select(
+            "lid", "rid", F.col("csls").alias("sim")
+        )
     gold = test.select(F.col("id1").alias("lid"), F.col("id2").alias("gold_rid"))
     ranks = EV.ranks_vs_gold(fused, gold)
     return EV.rank_metrics(ranks, top_k=top_k)

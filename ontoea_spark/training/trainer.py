@@ -57,6 +57,13 @@ class TrainConfig:
     # B5 (batch.py:210-265): seed negatives drawn from the corrupted
     # side's *own class* when known ('type_based'), else uniform
     seed_neg_method: str = "type_based"
+    # B3/B7 (ontoea_args_15K.json neg_sampling='truncated',
+    # truncated_epsilon=0.9, truncated_freq=10): triple negatives from
+    # each entity's top-(1-eps)*n nearest-neighbor pool, refreshed every
+    # truncated_freq epochs (ontoea.py:606-622)
+    neg_sampling: str = "truncated"
+    truncated_epsilon: float = 0.9
+    truncated_freq: int = 10
 
 
 class Adagrad:
@@ -142,7 +149,16 @@ class OntoEATrainer:
         nr = np.repeat(r, reps)
         nt = np.repeat(t, reps).copy()
         corrupt_head = self.rng.random(n * reps) < 0.5
-        rand_ids = self.rng.integers(0, len(self.ent), size=n * reps)
+        pool = getattr(self, "_neighbor_pool", None)
+        if pool is not None:
+            # B7 truncated sampling: hard negatives from the corrupted
+            # entity's nearest-neighbor pool (batch.py 'truncated' path)
+            draws = self.rng.integers(0, pool.shape[1], size=n * reps)
+            rand_ids = np.where(
+                corrupt_head, pool[nh, draws], pool[nt, draws]
+            )
+        else:
+            rand_ids = self.rng.integers(0, len(self.ent), size=n * reps)
         nh[corrupt_head] = rand_ids[corrupt_head]
         nt[~corrupt_head] = rand_ids[~corrupt_head]
 
@@ -211,6 +227,25 @@ class OntoEATrainer:
         self._opt_onto.step(self.onto, go)
         self.ent = _l2_rows(self.ent)
         return float(loss)
+
+    # -- B7: truncated-neighborhood refresh --------------------------------
+    def refresh_neighbor_pool(self, chunk: int = 1024) -> None:
+        """J9 self-similarity top-(1-eps)*n pools (basic_model.py:416-431;
+        refreshed every truncated_freq epochs). Chunked rows bound the
+        similarity buffer; at cluster scale this is the blocked top-k
+        self-join (simjoin.blocked_topk_join exclude_self)."""
+        n = len(self.ent)
+        num = max(1, int((1.0 - self.cfg.truncated_epsilon) * n))
+        pool = np.empty((n, num), dtype=np.int64)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = self.ent[lo:hi] @ self.ent.T
+            sims[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf
+            if num < n:
+                pool[lo:hi] = np.argpartition(-sims, num - 1, axis=1)[:, :num]
+            else:
+                pool[lo:hi] = np.argsort(-sims, axis=1)[:, :num]
+        self._neighbor_pool = pool
 
     # -- E5: conflict-matrix likelihood ----------------------------------
     def step_likelihood(self, onto_mat: np.ndarray, sigma: float = 1.0) -> float:
@@ -320,6 +355,11 @@ class OntoEATrainer:
         if c.seed_neg_method == "type_based" and len(cv_links):
             self.set_class_pools(cv_links)
         for epoch in range(c.epochs):
+            if (
+                c.neg_sampling == "truncated"
+                and epoch % c.truncated_freq == 0
+            ):
+                self.refresh_neighbor_pool()
             order = self.rng.permutation(len(triples))
             for i in range(0, len(triples), bs):
                 self.step_triples(triples[order[i : i + bs]])

@@ -84,6 +84,13 @@ def test_distributed_gradients_match_driver(spark, bench_data):
     assert np.allclose(gr1, gr8, atol=1e-9)
 
 
+def test_alignment_csls_variant(spark, bench_data):
+    """V5 third pass: CSLS-rescaled fused scores (T4) keep quality."""
+    model = train(bench_data, TrainConfig(dim=32, epochs=100, seed=42))
+    m = evaluate(spark, bench_data, model, csls_k=10).collect()[0]
+    assert m.hits1 >= 0.9, m.asDict()
+
+
 def test_run_benchmark_alignment_smoke(spark):
     m = run_benchmark_alignment(
         spark, n_ent=120, cfg=TrainConfig(dim=16, epochs=30, seed=42)
