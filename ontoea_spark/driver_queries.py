@@ -52,9 +52,25 @@ def _tagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_two_kgs(_documents(spark, sf_dir))
 
 
+# session-scoped memo for the shared fixture frames: the driver runs all
+# queries() sequentially in one SparkSession, and most of them re-derive
+# the same tiny extracted-triple / crossview frames — cache them once.
+_MEMO: dict = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key not in _MEMO:
+        _MEMO[key] = build().cache()
+    return _MEMO[key]
+
+
 def _triples(spark: SparkSession, sf_dir: str, kg: str) -> DataFrame:
-    tagged = _tagged_docs(spark, sf_dir).filter(F.col("kg") == kg)
-    return EX.extract_triples(tagged.select("kg", "text"), namespace_col="kg")
+    def build():
+        tagged = _tagged_docs(spark, sf_dir).filter(F.col("kg") == kg)
+        return EX.extract_triples(tagged.select("kg", "text"), namespace_col="kg")
+
+    return _memo(spark, sf_dir, f"triples_{kg}", build)
 
 
 def _cv_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,11 +549,15 @@ def q_hits_metrics(spark, sf_dir):
 def _onto_cpd(spark, sf_dir):
     """Shared ontology fixture: leaf classes from the crossview fixture ->
     synthetic tree -> paths + disjoint-target expansion.
-    Returns DataFrame[cls, path, disj]."""
-    leaf = _cv_fixture(spark, sf_dir).select("cls").distinct().cache()
-    sub, disj = OF.synth_ontology(spark, leaf)
-    paths = OT.class_paths(sub, iters=4)
-    return OT.disjoint_targets(paths, disj)
+    Returns DataFrame[cls, path, disj] (session-memoized)."""
+
+    def build():
+        leaf = _cv_fixture(spark, sf_dir).select("cls").distinct()
+        sub, disj = OF.synth_ontology(spark, leaf)
+        paths = OT.class_paths(sub, iters=4)
+        return OT.disjoint_targets(paths, disj)
+
+    return _memo(spark, sf_dir, "onto_cpd", build)
 
 
 def q_onto_class_paths(spark, sf_dir):
