@@ -1088,6 +1088,34 @@ def q_salted_degree_join(spark, sf_dir):
     )
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: self-pairs with cosine >= 0.9 via the
+    blocked exact join (lid < rid canonical orientation)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    pairs = SJ.all_pairs_scores(e, e, metric="cosine")
+    return pairs.filter(
+        (F.col("lid") < F.col("rid")) & (F.col("sim") >= 0.9)
+    ).select("lid", "rid", "sim")
+
+
+def q_ann_ivf_top1(spark, sf_dir):
+    """IVF-style ANN scale path: deterministic coarse quantizer (every
+    50th vector is a centroid), cell-bucketed candidates, exact cosine
+    re-rank, top-1 per query (even vs odd ids)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    return SJ.ivf_topk_join(left, right, cents, k=1).select("lid", "rid", "sim")
+
+
 def q_alignment_hits(spark, sf_dir):
     """E1-E8 + V2/V4/V5/A7 end-to-end: OntoEA-style joint embedding
     training on the deterministic D-W-15K-style synthetic benchmark, then
@@ -1163,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_revision": q_cv_revision,
         "predict_type_check": q_predict_type_check,
         "word2vec_parse": q_word2vec_parse,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_ivf_top1": q_ann_ivf_top1,
     }
 
 
@@ -1977,6 +2007,43 @@ WHERE len(t) = 4
   AND regexp_matches(t[2], '{_NUM_RE}')
   AND regexp_matches(t[3], '{_NUM_RE}')
   AND regexp_matches(t[4], '{_NUM_RE}')
+"""
+
+    sql["dedup_embedding"] = """
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.id AS lid, b.id AS rid,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.id < b.id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+"""
+
+    sql["ann_ivf_top1"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(list_sum([ (v[i]-cvec[i])*(v[i]-cvec[i]) for i in range(1, len(v)+1)]), 9) ASC,
+                    cid ASC
+         ) AS rn
+  FROM pts CROSS JOIN cents
+),
+al AS (SELECT vec_id AS lid, v, cid FROM assign WHERE rn = 1 AND vec_id % 2 = 0),
+ar AS (SELECT vec_id AS rid, v, cid FROM assign WHERE rn = 1 AND vec_id % 2 = 1),
+icand AS (
+  SELECT lid, rid, round(list_cosine_similarity(al.v, ar.v), 6) AS sim
+  FROM al JOIN ar USING (cid)
+),
+irk AS (
+  SELECT lid, rid, sim,
+         row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+  FROM icand
+)
+SELECT lid, rid, sim FROM irk WHERE rn = 1
 """
 
     _VB = "CAST(embedding AS DOUBLE[])"

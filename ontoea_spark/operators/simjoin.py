@@ -274,6 +274,67 @@ def lsh_topk_join(
     )
 
 
+def ivf_topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    left_id: str = "id",
+    left_vec: str = "vec",
+    right_id: str = "id",
+    right_vec: str = "vec",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF-style ANN: both sides are assigned to their nearest centroid
+    (coarse quantizer; deterministic argmin by (L2 asc, centroid id asc)),
+    candidates share a centroid cell, exact cosine re-ranks within the
+    cell. centroids: DataFrame[cid, cvec].
+
+    At cluster scale the centroid table is broadcast (small) and the
+    cell join is a shuffle hash join on cid — same shape as the LSH
+    path with a data-adaptive quantizer instead of random planes.
+    """
+    from ontoea_spark.functions.vectors import cosine, dot, l2_norm
+
+    def assign(df, id_col, vec_col, out_id):
+        j = df.select(
+            F.col(id_col).cast("long").alias(out_id),
+            F.col(vec_col).alias("v"),
+        ).crossJoin(F.broadcast(centroids))
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("v").cast("array<double>"),
+                F.col("cvec").cast("array<double>"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.round(d2, 9).asc(), F.col("cid").asc()
+        )
+        return (
+            j.withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(out_id, "v", "cid")
+        )
+
+    l = assign(left, left_id, left_vec, "lid").withColumnRenamed("v", "lvec")
+    r = assign(right, right_id, right_vec, "rid").withColumnRenamed("v", "rvec")
+    cand = l.join(r, "cid").select(
+        "lid", "rid", cosine(F.col("lvec"), F.col("rvec")).alias("sim")
+    )
+    if round_to is not None:
+        cand = cand.withColumn("sim", F.round("sim", round_to))
+    w = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("lid", "rid", "sim", "rk")
+    )
+
+
 def csls_rescale(scores: DataFrame, k: int = 10, round_to: int = 6) -> DataFrame:
     """CSLS rescaling over a pair-score table (similarity.py:55-81):
 
