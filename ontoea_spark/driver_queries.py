@@ -61,7 +61,13 @@ _MEMO: dict = {}
 def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     key = (id(spark), sf_dir, name)
     if key not in _MEMO:
-        _MEMO[key] = build().cache()
+        # localCheckpoint (eager) instead of cache(): it truncates the
+        # logical plan to the materialized RDD, so queries that reference
+        # the fixture many times (fixpoint passes, ontology chains) don't
+        # duplicate the whole derivation subtree per reference — cached
+        # non-checkpointed frames exploded one plan to 6k lines / 105
+        # broadcast builds — and stats are the real materialized size
+        _MEMO[key] = build().localCheckpoint(eager=True)
     return _MEMO[key]
 
 
