@@ -131,6 +131,12 @@ def single_run() -> dict:
     spark = get_spark("bench")
     pipe_s, n_edges = run_pipeline_once(spark, SF_DIR)
     queries = bench_queries(spark, SF_DIR)
+    # scale-meaningful throughput: the corpus at this sf is tiny (fixed
+    # job overhead dominates the end-to-end pipeline wall), so also
+    # measure the extraction stage on a 20x-replicated corpus — the
+    # number that projects to 100 TB (see BASELINE.md scaling section)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    scale_s, n_mentions = scaling_job(spark, SF_DIR, replicate=20)
     total = round(pipe_s + sum(queries.values()), 3)
     result = {
         "metric": "kg_pipeline_plus_headline_queries_wall",
@@ -140,6 +146,8 @@ def single_run() -> dict:
         "sf": _sf_from_dir(SF_DIR),
         "kg_edges": n_edges,
         "triples_per_sec": round(n_edges / pipe_s, 1),
+        "extraction_mentions_per_sec": round(n_mentions / scale_s, 1),
+        "extraction_pages_per_sec": round(n_docs * 20 / scale_s, 1),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     spark.stop()
