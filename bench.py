@@ -9,9 +9,10 @@ The headline metric is end-to-end KG-construction throughput
 (triples/sec over the pages->extract->dedup->encode->edges pipeline,
 BASELINE.json:2), reported alongside per-query wall seconds.
 
-Set ``SPARK_BENCH_SCALING=1`` to also run the pipeline at local[8] vs
-local[32] (same input) and report throughput at both plus scaling
-efficiency — the sandbox proxy for the N vs 4N executor criterion.
+Set ``SPARK_BENCH_SCALING=1`` to also run the pipeline at local[2] vs
+local[8] (same input — see scaling_run's docstring for why not 8 vs 32)
+and report throughput at both plus scaling efficiency — the sandbox
+proxy for the N vs 4N executor criterion.
 That mode re-executes this script in subprocesses (a Spark local master
 cannot change core count in-process).
 """

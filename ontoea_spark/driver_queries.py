@@ -1095,14 +1095,15 @@ def q_salted_degree_join(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup: self-pairs with cosine >= 0.9 via the
-    blocked exact join (lid < rid canonical orientation)."""
+    """Embedding-cosine near-dup via banded random-hyperplane LSH
+    (operators/dedup.embedding_neardup_pairs): candidates share a band
+    bucket (equi-join — subquadratic, never n² rows), exact cosine
+    re-check, threshold 0.9, lid < rid canonical orientation."""
+    from ontoea_spark.operators.dedup import embedding_neardup_pairs
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-    pairs = SJ.all_pairs_scores(e, e, metric="cosine")
-    return pairs.filter(
-        (F.col("lid") < F.col("rid")) & (F.col("sim") >= 0.9)
-    ).select("lid", "rid", "sim")
+    return embedding_neardup_pairs(e, threshold=0.9)
 
 
 def q_ann_ivf_top1(spark, sf_dir):
@@ -2015,11 +2016,21 @@ WHERE len(t) = 4
   AND regexp_matches(t[4], '{_NUM_RE}')
 """
 
-    sql["dedup_embedding"] = """
-WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.id AS lid, b.id AS rid,
-       round(list_cosine_similarity(a.v, b.v), 6) AS sim
-FROM e a JOIN e b ON a.id < b.id
+    _ndp_bands = "\n  UNION ALL ".join(
+        f"SELECT id, v, {b} AS band, {lsh_bucket_sql('v', 4, salt=f'ndp{b}x')} AS bucket FROM e"
+        for b in range(4)
+    )
+    sql["dedup_embedding"] = f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  {_ndp_bands}
+),
+cand AS (
+  SELECT DISTINCT a.id AS lid, b.id AS rid
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT lid, rid, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM cand JOIN e a ON a.id = cand.lid JOIN e b ON b.id = cand.rid
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
 """
 

@@ -22,6 +22,8 @@ DuckDB oracles replicate results exactly.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -178,6 +180,69 @@ def minhash_lsh_pairs(
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
         .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    bands: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, sim >= threshold)
+    via banded random-hyperplane LSH — the subquadratic scale path
+    (reference analogue: the J8/J9 candidate machinery, batch.py:268-299,
+    which materializes the dense matrix; here candidates come from bucket
+    equi-joins, never |docs|² rows).
+
+    Each of ``bands`` independent signatures hashes the vector with
+    ``n_planes`` deterministic salted hyperplanes (simjoin.lsh_bucket);
+    two vectors are candidates iff they share *any* band's bucket (OR of
+    bands — the MinHash-banding recall trick), then exact cosine re-ranks
+    and the threshold filters. Recall < 1 by construction; raise
+    ``bands`` for recall, ``n_planes`` for precision.
+
+    Cost: |emb|·bands signature rows, bucket-equi-join candidates only.
+    Returns DataFrame[lid, rid, sim].
+    """
+    from ontoea_spark.functions.vectors import cosine
+    from ontoea_spark.operators.simjoin import lsh_bucket
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    sig = reduce(
+        DataFrame.unionByName,
+        [
+            base.select(
+                "id",
+                "v",
+                F.lit(b).alias("band"),
+                lsh_bucket("v", n_planes, salt=f"ndp{b}x").alias("bucket"),
+            )
+            for b in range(bands)
+        ],
+    )
+    a = sig.select(
+        F.col("id").alias("lid"), F.col("v").alias("v1"), "band", "bucket"
+    )
+    b = sig.select(
+        F.col("id").alias("rid"), F.col("v").alias("v2"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("lid") < F.col("rid"))
+        .select("lid", "rid", "v1", "v2")
+        .dropDuplicates(["lid", "rid"])  # a pair may collide in >1 band
+    )
+    return (
+        cand.select(
+            "lid", "rid", F.round(cosine(F.col("v1"), F.col("v2")), round_to).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
     )
 
 

@@ -77,8 +77,13 @@ def _rank_freqs(freqs: DataFrame, range_partitions: int = 32) -> DataFrame:
     wl = Window.partitionBy("pid").orderBy(F.desc("freq"), F.desc("elem"))
     local = part.withColumn("lrank", F.row_number().over(wl))
     counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
+    # counts has exactly range_partitions rows (one per pid) — the
+    # lit(0) partition key silences the WindowExec no-partition warning
+    # without changing semantics; this window never sees big data.
     woff = (
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+        Window.partitionBy(F.lit(0))
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.withColumn(
         "off", F.coalesce(F.sum("cnt").over(woff), F.lit(0))

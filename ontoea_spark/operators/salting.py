@@ -43,8 +43,19 @@ def salted_join(
     column; pass an id column for stability).
 
     Returns the same rows as ``fact.join(dim, key, how)`` with fact
-    columns first.
+    columns first. ``how`` is restricted to inner/left/left_semi/
+    left_anti: replicating dim ``n_salts``x would duplicate every
+    *unmatched* dim row under right/full outer joins, silently changing
+    results — those variants raise.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not "
+            f"{how!r}: the dim side is replicated {n_salts}x, so outer "
+            f"joins would emit each unmatched dim row {n_salts} times"
+        )
     src = salt_src or [c for c in fact.columns if c != key][0]
     fact_s = fact.withColumn(
         "__salt", F.pmod(portable_hash64(F.col(src).cast("string")), F.lit(n_salts))
@@ -61,10 +72,20 @@ def salted_join(
 def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     """Two-stage count by ``key`` through a salted partial aggregate.
     Output: DataFrame[<key>, n: bigint] — identical to
-    ``df.groupBy(key).count()``."""
+    ``df.groupBy(key).count()``.
+
+    The salt hashes the whole row identity (all columns concatenated),
+    keeping the module's no-RNG determinism promise: the same input
+    produces the same partial-aggregate partitioning run-to-run and
+    under task retries."""
     salted = df.withColumn(
         "__salt",
-        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
+        F.pmod(
+            portable_hash64(
+                F.concat_ws("", *[F.col(c).cast("string") for c in df.columns])
+            ),
+            F.lit(n_salts),
+        ),
     )
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("pc"))
     return partial.groupBy(key).agg(F.sum("pc").cast("long").alias("n"))

@@ -21,7 +21,7 @@ Metrics land in ``<base>/_metrics/<stage>/`` as parquet.
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 from collections.abc import Callable
 
@@ -29,37 +29,89 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class _HadoopFS:
+    """Driver-side filesystem IO through the Hadoop FileSystem API, so
+    manifest/_SUCCESS bookkeeping works against whatever scheme the
+    checkpoint dir lives on (file://, hdfs://, s3a://, ...) — the same
+    resolution ``df.write.parquet`` uses. Plain ``os`` calls here would
+    silently break resume on any non-local base_dir (always-False
+    is_complete + a literal local './hdfs:...' manifest directory)."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = jvm.org.apache.hadoop.fs.Path(base).getFileSystem(self._conf)
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._path(p)))
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._path(p))
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._path(p))
+        try:
+            ioutils = self._jvm.org.apache.commons.io.IOUtils
+            charset = self._jvm.java.nio.charset.StandardCharsets.UTF_8
+            return ioutils.toString(stream, charset)
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        tmp = p + ".tmp"
+        stream = self._fs.create(self._path(tmp), True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+        # rename onto the final name (delete-then-rename: HDFS rename
+        # does not overwrite)
+        if self.exists(p):
+            self._fs.delete(self._path(p), False)
+        self._fs.rename(self._path(tmp), self._path(p))
+
+    def listdir(self, p: str) -> list[str]:
+        statuses = self._fs.listStatus(self._path(p))
+        return [st.getPath().getName() for st in statuses]
+
+    def is_dir(self, p: str) -> bool:
+        return self.exists(p) and bool(self._fs.getFileStatus(self._path(p)).isDirectory())
+
+
 class CheckpointManager:
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
         self.base = base_dir
-        os.makedirs(base_dir, exist_ok=True)
-        self._manifest_path = os.path.join(base_dir, "_manifest.json")
+        self.fs = _HadoopFS(spark, base_dir)
+        self.fs.mkdirs(base_dir)
+        self._manifest_path = posixpath.join(base_dir, "_manifest.json")
 
     # -- manifest ---------------------------------------------------------
     def manifest(self) -> dict:
-        if os.path.exists(self._manifest_path):
-            with open(self._manifest_path, encoding="utf-8") as f:
-                return json.load(f)
+        if self.fs.exists(self._manifest_path):
+            return json.loads(self.fs.read_text(self._manifest_path))
         return {"stages": {}}
 
     def _write_manifest(self, m: dict) -> None:
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path)
+        self.fs.write_text_atomic(
+            self._manifest_path, json.dumps(m, indent=1, sort_keys=True)
+        )
 
     def is_complete(self, stage: str) -> bool:
         entry = self.manifest()["stages"].get(stage)
         if not entry:
             return False
-        return os.path.exists(
-            os.path.join(self.base, stage, "_SUCCESS")
+        return self.fs.exists(
+            posixpath.join(self.base, stage, "_SUCCESS")
         )
 
     # -- stages -----------------------------------------------------------
     def stage_path(self, stage: str) -> str:
-        return os.path.join(self.base, stage)
+        return posixpath.join(self.base, stage)
 
     def run_stage(
         self,
@@ -97,7 +149,7 @@ class CheckpointManager:
 
     # -- lineage / metrics --------------------------------------------------
     def _metrics_path(self, stage: str) -> str:
-        return os.path.join(self.base, "_metrics", stage)
+        return posixpath.join(self.base, "_metrics", stage)
 
     def _record_partition_metrics(self, stage: str, df: DataFrame) -> None:
         pm = (
@@ -123,10 +175,10 @@ class CheckpointManager:
         return self.spark.read.parquet(self._metrics_path(stage))
 
     def all_partition_metrics(self) -> DataFrame:
-        base = os.path.join(self.base, "_metrics")
+        base = posixpath.join(self.base, "_metrics")
         stages = [
-            s for s in os.listdir(base)
-            if os.path.isdir(os.path.join(base, s))
+            s for s in self.fs.listdir(base)
+            if self.fs.is_dir(posixpath.join(base, s))
         ]
         dfs = [self.partition_metrics(s) for s in sorted(stages)]
         out = dfs[0]
