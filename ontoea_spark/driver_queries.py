@@ -972,6 +972,19 @@ def q_ann_topk_euclidean(spark, sf_dir):
     return SJ.blocked_topk_join(left, right, k=3, metric="euclidean")
 
 
+def q_ann_topk_manhattan(spark, sf_dir):
+    """V1 manhattan metric (similarity.py:41-44, sim = 1 - cityblock
+    distance): blocked top-3 join, even vs odd embedding ids."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    return SJ.blocked_topk_join(left, right, k=3, metric="manhattan")
+
+
 def q_class_complete_full(spark, sf_dir):
     """Full G8: class completion by relation with greedy entropy descent
     (inference.py:193-282) — iterative driver-coordinated rounds, no SQL
@@ -1193,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sup_attr_swap": q_sup_attr_swap,
         "name_pairs": q_name_pairs,
         "ann_topk_euclidean": q_ann_topk_euclidean,
+        "ann_topk_manhattan": q_ann_topk_manhattan,
         "salted_degree_join": q_salted_degree_join,
         "class_complete_full": q_class_complete_full,
         "cv_revision": q_cv_revision,
@@ -1933,6 +1947,18 @@ SELECT e AS entity, v AS name FROM attr WHERE a = 'p:word'
 WITH l AS (SELECT vec_id AS lid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 0),
 r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
 s AS (SELECT lid, rid, round(1 - list_distance(l.v, r.v), 6) AS sim FROM l, r),
+srk AS (SELECT lid, rid, sim,
+               CAST(row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS BIGINT) AS rk
+        FROM s)
+SELECT lid, rid, sim, rk FROM srk WHERE rk <= 3
+"""
+
+    sql["ann_topk_manhattan"] = """
+WITH l AS (SELECT vec_id AS lid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 0),
+r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
+s AS (SELECT lid, rid,
+             round(1 - list_sum([abs(l.v[i] - r.v[i]) for i in range(1, len(l.v) + 1)]), 6) AS sim
+      FROM l, r),
 srk AS (SELECT lid, rid, sim,
                CAST(row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS BIGINT) AS rk
         FROM s)

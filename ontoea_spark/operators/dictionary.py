@@ -77,11 +77,13 @@ def _rank_freqs(freqs: DataFrame, range_partitions: int = 32) -> DataFrame:
     wl = Window.partitionBy("pid").orderBy(F.desc("freq"), F.desc("elem"))
     local = part.withColumn("lrank", F.row_number().over(wl))
     counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
-    # counts has exactly range_partitions rows (one per pid) — the
-    # lit(0) partition key silences the WindowExec no-partition warning
-    # without changing semantics; this window never sees big data.
+    # counts has exactly range_partitions rows (one per pid), so a
+    # single-partition window is genuinely fine; partition on a
+    # column-derived constant (pmod(pid,1)=0) because a bare lit(0) gets
+    # constant-folded to an empty spec and re-triggers the WindowExec
+    # no-partition warning.
     woff = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.pmod(F.col("pid"), F.lit(1)))
         .orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -60,7 +60,33 @@ def _block_scores(lm, rm, metric: str):
     raise ValueError(f"unknown metric {metric!r}")
 
 
-def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, n_blocks: int, side: str) -> DataFrame:
+# Upper bound on rows packed into one block row. A block is ONE row
+# holding an id array + vector list, so its size is bounded by Arrow's
+# single-row limits, not executor memory: 8192 vectors x dim 300 x 8 B
+# ~ 20 MB/row — comfortable; 10^7 vectors/row would not be. Block
+# COUNTS therefore must grow with input size — see _auto_blocks.
+TARGET_BLOCK_ROWS = 8192
+
+
+def _auto_blocks(df: DataFrame, target_rows: int = TARGET_BLOCK_ROWS) -> int:
+    """Number of blocks so no block row packs more than ~target_rows
+    vectors (uniform pmod blocking => blocks are balanced). The count is
+    one cheap job, negligible next to the matmul stage; at cluster scale
+    it is a count over the (already-pruned) id+vec projection.
+
+    Lower-bounded by sqrt(defaultParallelism) so the block-pair cross
+    join yields >= ~cores kernel tasks even on small inputs — block
+    count must grow with DATA for memory and never drop below the
+    CLUSTER's parallelism floor."""
+    n = df.count()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    min_blocks = max(1, int(par ** 0.5))
+    return max(min_blocks, -(-n // target_rows))
+
+
+def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, n_blocks: int | None, side: str) -> DataFrame:
+    if n_blocks is None:
+        n_blocks = _auto_blocks(df)
     b = F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).alias(f"{side}b")
     return (
         df.select(b, F.col(id_col).cast("long").alias(f"{side}id"), F.col(vec_col).alias("vec"))
@@ -81,12 +107,16 @@ def blocked_topk_join(
     right_id: str = "id",
     right_vec: str = "vec",
     metric: str = "cosine",
-    n_left_blocks: int = 8,
-    n_right_blocks: int = 8,
+    n_left_blocks: int | None = None,
+    n_right_blocks: int | None = None,
     round_to: int | None = 6,
     exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k similarity join.
+
+    Block counts default to auto-sizing (``ceil(n / TARGET_BLOCK_ROWS)``
+    per side from a cheap count) so a block row never packs an unbounded
+    vector list — pass explicit counts only to pin a layout in tests.
 
     ``exclude_self``: for self-joins over a shared id space, mask pairs
     with lid == rid inside the kernel (before top-k pruning).
@@ -156,8 +186,8 @@ def all_pairs_scores(
     right_id: str = "id",
     right_vec: str = "vec",
     metric: str = "cosine",
-    n_left_blocks: int = 8,
-    n_right_blocks: int = 8,
+    n_left_blocks: int | None = None,
+    n_right_blocks: int | None = None,
     round_to: int | None = 6,
 ) -> DataFrame:
     """Full pairwise score table DataFrame[lid, rid, sim] (blocked matmul,

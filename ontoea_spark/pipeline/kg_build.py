@@ -107,16 +107,17 @@ def materialize(
     """Write partitioned edge/vertex parquet tables (Iceberg-shaped layout:
     edges partitioned by kg, repartitioned on s_id so downstream
     adjacency scans are co-located). Returns path map."""
+    from ontoea_spark.sources.tables import write_edges
+
     paths = {
         "edges": f"{out_dir}/edges",
         "vertices": f"{out_dir}/vertices",
         "links": f"{out_dir}/links",
     }
-    (
-        result.edges.repartition(partitions, "s_id")
-        .write.mode("overwrite")
-        .partitionBy("kg")
-        .parquet(paths["edges"])
+    # format dispatch (iceberg iff a catalog is configured) lives in
+    # sources/tables.py; everything below it only sees DataFrames
+    write_edges(
+        result.edges.repartition(partitions, "s_id"), paths["edges"]
     )
     (
         result.vertices.repartition(max(partitions // 4, 1), "id")

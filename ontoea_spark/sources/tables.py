@@ -1,0 +1,70 @@
+"""Table-format dispatch: Iceberg when a catalog is configured, parquet
+otherwise (BASELINE.json north rule: the production input is an Iceberg
+table of Common-Crawl-style pages; this sandbox has no Iceberg runtime
+jar, so the parquet path is what tests exercise — the dispatch itself is
+unit-tested either way).
+
+The switch point is deliberately tiny: readers/writers everywhere else
+take DataFrames, so swapping the storage format touches only this
+module. To run against Iceberg, submit with
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v> \
+      --conf spark.sql.catalog.cc=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.cc.type=hive ...
+
+and pass table identifiers like ``cc.db.pages`` instead of paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def detect_format(conf_items: dict[str, str]) -> str:
+    """'iceberg' iff any spark.sql.catalog.<name> entry is an Iceberg
+    SparkCatalog, else 'parquet'. Pure — unit-testable without a session."""
+    for k, v in conf_items.items():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and (
+            v == ICEBERG_CATALOG_CLASS
+        ):
+            return "iceberg"
+    return "parquet"
+
+
+def table_format(spark: SparkSession) -> str:
+    return detect_format(dict(spark.sparkContext.getConf().getAll()))
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Read the web-pages input table (url, warc_ts, html, text, lang).
+
+    ``source`` is a path for parquet, a catalog table identifier
+    (``catalog.db.table``) for Iceberg. Column pruning and partition
+    pruning push down identically through either DSv2 source.
+    """
+    fmt = table_format(spark)
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(source)
+    return spark.read.parquet(source)
+
+
+def write_edges(
+    df: DataFrame,
+    target: str,
+    partition_cols: tuple[str, ...] = ("kg",),
+    mode: str = "overwrite",
+) -> str:
+    """Write the materialized edge table partitioned by ``partition_cols``
+    — Iceberg table when the catalog is configured (hidden partitioning
+    via partitionedBy on first create is handled by the DDL owner; here
+    we append/overwrite into the existing layout), parquet dir otherwise.
+    """
+    fmt = table_format(df.sparkSession)
+    w = df.write.mode(mode)
+    if fmt == "iceberg":
+        w.format("iceberg").saveAsTable(target)
+    else:
+        w.partitionBy(*partition_cols).parquet(target)
+    return fmt

@@ -101,13 +101,17 @@ def prepare_from_parts(
     leaf = cv.select("cls").distinct()
     sub, _disj = OF.synth_ontology(spark, leaf)
     classes = OT.all_classes(sub)
-    # classes is a handful of rows: the lit(0) partition key keeps the
-    # global ordering semantics while avoiding Spark's single-partition
-    # WindowExec warning (the frame genuinely is one tiny partition).
+    # classes is a handful of rows — one tiny partition is correct.
+    # Partition on a column-derived constant (length(cls)*0): a bare
+    # lit(0) is constant-folded to an empty spec and re-triggers the
+    # WindowExec no-partition warning.
     cls_ids = classes.select(
         "cls",
         (
-            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("cls")) - 1
+            F.row_number().over(
+                Window.partitionBy(F.length("cls") * 0).orderBy("cls")
+            )
+            - 1
         ).cast("long").alias("cls_id"),
     ).cache()
     all_ent = ent_ids.select(F.col("elem").alias("entity"), F.col("id"))

