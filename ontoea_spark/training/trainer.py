@@ -76,6 +76,11 @@ class TrainConfig:
     # B5 (batch.py:210-265): seed negatives drawn from the corrupted
     # side's *own class* when known ('type_based'), else uniform
     seed_neg_method: str = "type_based"
+    # B6 (sample.py:7-41, wiring ontoea.py:566-570): when 'prob_based',
+    # onto-hierarchy negatives are drawn with probability
+    # softmax(1 - onto_mat) per corrupted class — conflicting classes
+    # become likelier negatives. The 15K config ships null (uniform).
+    onto_neg_sampling: str | None = None
     # B3/B7 (ontoea_args_15K.json neg_sampling='truncated',
     # truncated_epsilon=0.9, truncated_freq=10): triple negatives from
     # each entity's top-(1-eps)*n nearest-neighbor pool, refreshed every
@@ -259,7 +264,15 @@ class OntoEATrainer:
         if len(sub_edges) == 0:
             return 0.0
         ch, pa = sub_edges[:, 0], sub_edges[:, 1]
-        npa = self.rng.integers(0, len(self.onto), size=len(sub_edges))
+        cdf = getattr(self, "_onto_neg_cdf", None)
+        if cdf is not None:
+            # B6 prob-based corruption: inverse-CDF draw from the
+            # per-class conflict-weighted distribution (sample.prob_pick
+            # semantics, vectorized)
+            u = self.rng.random(len(sub_edges))
+            npa = np.argmax(cdf[:, ch] > u[None, :], axis=0)
+        else:
+            npa = self.rng.integers(0, len(self.onto), size=len(sub_edges))
         if self.hier_mlp is not None:
             # hier path (losses.py:96-115): head class projected through
             # tanh(W·c+b), l2-normalized; neg shares the same head
@@ -320,6 +333,18 @@ class OntoEATrainer:
         self._opt_onto.step(self.onto, go)
         self.ent = _l2_rows(self.ent)
         return float(loss)
+
+    # -- B6: prob-based onto negative distribution -------------------------
+    def set_onto_neg_probs(self, onto_mat: np.ndarray) -> None:
+        """B6 (ontoea.py:567): onto_prob_dict = softmax(1 - onto_mat) —
+        the reference's column-normalized softmax (sample.softmax
+        axis=0), so column j is the negative-class distribution for a
+        corrupted node of class j. Stored as a per-column CDF for
+        vectorized inverse-CDF draws in step_hierarchy."""
+        x = 1.0 - onto_mat
+        p = np.exp(x)
+        p = p / np.sum(p, axis=0, keepdims=True)
+        self._onto_neg_cdf = np.cumsum(p, axis=0)
 
     # -- B7: truncated-neighborhood refresh --------------------------------
     def refresh_neighbor_pool(self, chunk: int = 1024) -> None:
@@ -471,6 +496,8 @@ class OntoEATrainer:
         bs = c.batch_size
         if c.seed_neg_method == "type_based" and len(cv_links):
             self.set_class_pools(cv_links)
+        if c.onto_neg_sampling == "prob_based" and onto_mat is not None:
+            self.set_onto_neg_probs(onto_mat)
         sub = max(1, c.sub_epoch)
         iters = max(1, c.epochs // sub)
         self.step_counts = dict.fromkeys(

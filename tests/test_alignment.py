@@ -74,6 +74,42 @@ def test_mlp_head_gradients_fd():
             ), (i, fd, g_analytic.ravel()[i])
 
 
+def test_prob_based_onto_negatives():
+    """B6 (sample.py:7-41): with onto_neg_sampling='prob_based' the
+    hierarchy negatives follow softmax(1 - onto_mat) per corrupted
+    class — a class in strong conflict with the child (low compat) must
+    be drawn far more often than a compatible one."""
+    n_cls = 4
+    cfg = TrainConfig(dim=8, onto_neg_sampling="prob_based", seed=9)
+    m = OntoEATrainer(10, 2, n_cls, cfg)
+    onto_mat = np.ones((n_cls, n_cls))
+    onto_mat[2, 0] = -5.0  # class 2 conflicts hard with class 0
+    m.set_onto_neg_probs(onto_mat)
+    # expected distribution for child class 0 (column 0)
+    x = 1.0 - onto_mat[:, 0]
+    p = np.exp(x) / np.exp(x).sum()
+    edges = np.zeros((4000, 2), dtype=np.int64)  # all children class 0
+    edges[:, 1] = 1
+    cdf = m._onto_neg_cdf
+    u = m.rng.random(len(edges))
+    npa = np.argmax(cdf[:, edges[:, 0]] > u[None, :], axis=0)
+    freq = np.bincount(npa, minlength=n_cls) / len(npa)
+    assert np.allclose(freq, p, atol=0.03), (freq, p)
+    assert freq[2] > 10 * freq[0]
+    # and the trainer path runs end-to-end with the flag on
+    rng = np.random.default_rng(0)
+    tri = rng.integers(0, [10, 2, 10], size=(20, 3)).astype(np.int64)
+    sub = rng.integers(0, n_cls, size=(6, 2)).astype(np.int64)
+    cv = rng.integers(0, [10, n_cls], size=(8, 2)).astype(np.int64)
+    tr = rng.integers(0, 10, size=(6, 2)).astype(np.int64)
+    cfg2 = TrainConfig(
+        dim=8, epochs=4, sub_epoch=2, onto_neg_sampling="prob_based", seed=9
+    )
+    m2 = OntoEATrainer(10, 2, n_cls, cfg2)
+    m2.fit(tri, sub, cv, tr, onto_mat=onto_mat)
+    assert m2._onto_neg_cdf is not None
+
+
 def test_schedule_step_counts():
     """E8 (ontoea.py:580-604): per iteration — sub_epoch triple/
     hierarchy/membership epochs, align_sub_epoch mapping epochs,
