@@ -746,6 +746,53 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (rebuild curation surface): emails/phones redacted
+    with per-doc counts. Deterministic PII is appended from doc_id so
+    the scrubber is exercised on every row (the synthetic corpus itself
+    contains none)."""
+    from ontoea_spark.pipeline.curation import scrub_pii
+
+    docs = _documents(spark, sf_dir)
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return scrub_pii(with_pii)
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check: training docs sharing 3-gram
+    shingles with the deterministic eval split (doc_id % 97 == 0);
+    benchmark shingles broadcast, corpus side never self-joined."""
+    from ontoea_spark.pipeline.curation import contamination_check
+
+    docs = _documents(spark, sf_dir)
+    return contamination_check(docs, F.col("doc_id") % 97 == 0)
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/valid/test split from the portable 60-bit
+    md5 hash of doc_id — stable across engines/partitionings/reruns."""
+    from ontoea_spark.pipeline.curation import hash_split
+
+    return hash_split(_documents(spark, sf_dir))
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source (domain) corpus statistics — one map-side-combinable
+    aggregation for domain-mix monitoring."""
+    from ontoea_spark.pipeline.curation import source_stats
+
+    return source_stats(_documents(spark, sf_dir))
+
+
 def q_triple_pr(spark, sf_dir):
     """North-rule quality metric: precision/recall of the html->UDF
     extraction path's triples vs the gold triples from the pristine text
@@ -1194,6 +1241,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alignment_hits": q_alignment_hits,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
+        "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
+        "hash_split": q_hash_split,
+        "source_stats": q_source_stats,
         "triple_pr": q_triple_pr,
         "extract_fidelity": q_extract_fidelity,
         "ann_lsh_top1": q_ann_lsh_top1,
@@ -1795,6 +1846,59 @@ SELECT doc_id,
        {token_count_sql('text')} AS n_tokens,
        CAST(len(regexp_extract_all(text, '{piece_pat}')) AS BIGINT) AS n_pieces
 FROM documents
+"""
+
+    from ontoea_spark.pipeline.curation import EMAIL_PATTERN, PHONE_PATTERN
+
+    sql["pii_scrub"] = f"""
+WITH with_pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com tel +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+ne AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS no_email
+  FROM with_pii
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(no_email, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones,
+       regexp_replace(no_email, '{PHONE_PATTERN}', '<PHONE>', 'g') AS scrubbed
+FROM ne
+"""
+
+    sql["contamination"] = f"""
+WITH {_SHINGLES_CTE},
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_contaminated
+FROM sh JOIN bsh USING (shingle)
+WHERE id % 97 <> 0
+GROUP BY id
+"""
+
+    sql["hash_split"] = f"""
+WITH b AS (
+  SELECT doc_id, {H("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 85 THEN 'train'
+            WHEN bucket < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+    sql["source_stats"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY source
 """
 
     sql["triple_pr"] = f"""
