@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ontoea_spark.operators.dictionary import encode_triples, interleaved_ids
+from ontoea_spark.operators.dictionary import encode_triples, two_kg_dictionaries
 from ontoea_spark.pipeline.extract import extract_pages_text, extract_triples
 
 
@@ -71,8 +71,12 @@ def build_kg(pages: DataFrame) -> KGBuildResult:
     ).cache()
     triples1 = all_triples.filter(F.col("s").startswith("kg1:"))
     triples2 = all_triples.filter(F.col("s").startswith("kg2:"))
-    ent_ids = interleaved_ids(triples1, triples2, roles=("s", "o"))
-    rel_ids = interleaved_ids(triples1, triples2, roles=("p",))
+    # both dictionaries for both KGs in ONE pass over the triple stream
+    # (one freq shuffle + one range shuffle instead of four of each)
+    ent_ids, rel_ids = two_kg_dictionaries(
+        all_triples,
+        F.when(F.col("s").startswith("kg1:"), F.lit(1)).otherwise(F.lit(2)),
+    )
     e1 = ent_ids.filter(F.col("kg") == 1)
     e2 = ent_ids.filter(F.col("kg") == 2)
     r1 = rel_ids.filter(F.col("kg") == 1)
