@@ -242,11 +242,16 @@ def q_dict_interleaved_ids(spark, sf_dir):
 
 
 def q_dict_encode_triples(spark, sf_dir):
-    """D5: triples -> int ids via broadcast dictionary joins, both KGs."""
+    """D5: triples -> int ids via broadcast dictionary joins, both KGs.
+    Dictionaries come from the one-pass combined builder (identical
+    values to per-call interleaved_ids — parity-tested); D1/D2 stay
+    directly exercised by q_dict_freq_rank / q_dict_interleaved_ids."""
     t1 = _triples(spark, sf_dir, "kg1")
     t2 = _triples(spark, sf_dir, "kg2")
-    ent = DICT.interleaved_ids(t1, t2, roles=("s", "o"))
-    rel = DICT.interleaved_ids(t1, t2, roles=("p",))
+    both = t1.withColumn("kgn", F.lit(1)).unionByName(
+        t2.withColumn("kgn", F.lit(2))
+    )
+    ent, rel = DICT.two_kg_dictionaries(both, F.col("kgn"))
     e1, e2 = ent.filter("kg = 1"), ent.filter("kg = 2")
     r1, r2 = rel.filter("kg = 1"), rel.filter("kg = 2")
     return (

@@ -59,8 +59,33 @@ def streaming_mention_counts(
     )
 
 
+def streaming_distinct_triples(
+    pages_stream: DataFrame, watermark: str = "24 hours"
+) -> DataFrame:
+    """Streaming exact dedup of extracted (s, p, o) triples with BOUNDED
+    state: ``dropDuplicatesWithinWatermark`` keeps a key's dedup state
+    only until the watermark passes it, so state is O(keys per watermark
+    span), never O(all keys ever) — the only dedup contract that
+    survives an unbounded crawl stream. A duplicate arriving after its
+    original has aged out re-emits (by design); the batch
+    ``dedup_exact`` pass downstream remains the global authority.
+
+    Append-mode output DataFrame[s, p, o, ts]."""
+    text = extract_pages_text(pages_stream)
+    mentions = extract_mentions(text.select("url", "warc_ts", "text"))
+    m = mentions.withColumn("ts", F.col("warc_ts").cast("timestamp"))
+    return (
+        m.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["s", "p", "o"])
+        .select("s", "p", "o", "ts")
+    )
+
+
 def run_available_now(
-    stream_df: DataFrame, checkpoint_dir: str, table_name: str
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    table_name: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain everything currently available into an in-memory sink
     (test/bootstrap mode); production would writeStream to parquet/Kafka
@@ -68,7 +93,7 @@ def run_available_now(
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

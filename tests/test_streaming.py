@@ -93,3 +93,41 @@ def test_stateful_cumulative_counts(spark, tmp_path):
         for r in batch.groupBy("p").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_distinct_triples_match_batch(spark, tmp_path):
+    """Streaming dedup (bounded dropDuplicatesWithinWatermark state) over
+    the whole corpus inside one watermark span == batch distinct."""
+    from ontoea_spark.pipeline.extract import extract_mentions, extract_pages_text
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.streaming.ingest import (
+        read_pages_stream,
+        run_available_now,
+        streaming_distinct_triples,
+    )
+
+    pages = synthesize_pages(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    src = str(tmp_path / "pages_dedup_stream")
+    pages.repartition(6).write.parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=2)
+    distinct = streaming_distinct_triples(stream, watermark="24 hours")
+    run_available_now(
+        distinct, str(tmp_path / "cp_dedup"), "stream_distinct", output_mode="append"
+    )
+    got = {
+        (r.s, r.p, r.o) for r in spark.table("stream_distinct").collect()
+    }
+
+    want = {
+        (r.s, r.p, r.o)
+        for r in extract_mentions(
+            extract_pages_text(pages).select("url", "warc_ts", "text")
+        )
+        .select("s", "p", "o")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
