@@ -126,24 +126,31 @@ def minhash_signatures(
     """MinHash signatures: DataFrame[id, hf (0..k-1), minhash].
 
     shingle -> portable 60-bit hash -> k universal-hash values -> min per
-    (doc, hash-fn). One explode (x k) + one groupBy — linear in corpus
-    shingle count.
+    (doc, hash-fn). All k minima are computed as k aggregate columns in
+    ONE groupBy(id) pass over the shingle stream (no pre-aggregation
+    explode: exploding x k before the shuffle materializes k·|shingles|
+    struct rows for the hash aggregate to chew through); the (id, hf,
+    minhash) long shape is restored by exploding the k aggregated
+    columns AFTER — k·|docs| rows, not k·|shingles|.
     """
     sh = doc_shingles(docs, id_col, text_col, n).withColumn(
         "h", portable_hash64(F.col("shingle"))
     )
+    aggs = [
+        F.min(minhash_expr(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    per_doc = sh.groupBy("id").agg(*aggs)
     per_fn = [
         F.struct(
             F.lit(i).cast("long").alias("hf"),
-            minhash_expr(F.col("h"), a, b).alias("hv"),
+            F.col(f"m{i}").alias("minhash"),
         )
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
+        for i in range(len(MINHASH_PARAMS))
     ]
-    return (
-        sh.select("id", F.explode(F.array(*per_fn)).alias("x"))
-        .groupBy("id", F.col("x.hf").alias("hf"))
-        .agg(F.min("x.hv").alias("minhash"))
-    )
+    return per_doc.select(
+        "id", F.explode(F.array(*per_fn)).alias("x")
+    ).select("id", "x.hf", "x.minhash")
 
 
 def minhash_lsh_pairs(

@@ -176,12 +176,13 @@ def interleaved_ids(
     )
 
 
-def two_kg_dictionaries(
+def combined_dictionary_frame(
     all_triples: DataFrame,
     kg_expr,
     range_partitions: int = 32,
-) -> tuple[DataFrame, DataFrame]:
-    """D1+D2 for BOTH dictionaries of BOTH KGs in one pass.
+) -> DataFrame:
+    """D1+D2 for BOTH dictionaries of BOTH KGs in one pass — the lazy
+    combined frame DataFrame[grp, kg, elem, freq, rank, id].
 
     ``interleaved_ids`` called separately for entities and relations
     costs four frequency aggregations + four range shuffles, each
@@ -192,8 +193,11 @@ def two_kg_dictionaries(
     rank for everything. Output values are identical to the per-call
     operator (asserted by tests/test_dictionary_combined.py).
 
-    ``kg_expr``: Column mapping a triple row to its KG (1 or 2).
-    Returns (ent_ids, rel_ids), each DataFrame[kg, elem, freq, rank, id].
+    ``kg_expr``: Column mapping a triple row to its KG (1 or 2). An
+    intermediate frame is cache()d (two consumers inside the rank);
+    materialize the RESULT before fanning out to broadcast joins —
+    :func:`two_kg_dictionaries` does exactly that, and the checkpointed
+    pipeline snapshots it to parquet instead.
     """
     base = all_triples.select(kg_expr.cast("long").alias("kg"), "s", "p", "o")
     occs = (
@@ -249,16 +253,29 @@ def two_kg_dictionaries(
         F.col("rank") < F.col("n_other"),
         F.lit(2) * F.col("rank") + (F.col("kg") - F.lit(1)),
     ).otherwise(F.lit(2) * F.col("n_other") + (F.col("rank") - F.col("n_other")))
-    out = joined.select(
+    return joined.select(
         "grp", "kg", "elem", "freq", "rank", ident.cast("long").alias("id")
     )
-    # materialize the finished dictionaries ONCE (truncated lineage):
-    # downstream every encode join broadcasts slices of this frame, and
-    # without the checkpoint each broadcast build would re-run the whole
-    # grouped rank (the round-1 plan-subtree-duplication lesson). The
-    # frame is |vocab| rows — exactly the thing you want materialized.
-    out = out.localCheckpoint(eager=True)
-    part.unpersist()
+
+
+def two_kg_dictionaries(
+    all_triples: DataFrame,
+    kg_expr,
+    range_partitions: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`combined_dictionary_frame`, materialized once and split.
+
+    The localCheckpoint truncates lineage so downstream every
+    broadcast-encode join reads materialized dictionary rows; without it
+    each broadcast build re-runs the whole grouped rank (the round-1
+    plan-subtree-duplication lesson). The frame is |vocab| rows —
+    exactly the thing you want materialized.
+
+    Returns (ent_ids, rel_ids), each DataFrame[kg, elem, freq, rank, id].
+    """
+    out = combined_dictionary_frame(
+        all_triples, kg_expr, range_partitions
+    ).localCheckpoint(eager=True)
     cols = ["kg", "elem", "freq", "rank", "id"]
     return (
         out.filter("grp = 'ent'").select(*cols),

@@ -201,7 +201,10 @@ def run_pipeline_checkpointed(
     repartitioned by s_id and partitioned by kg at the sink (co-located
     adjacency scans downstream — the Iceberg-shaped layout).
     """
-    from ontoea_spark.operators.dictionary import encode_triples, interleaved_ids
+    from ontoea_spark.operators.dictionary import (
+        combined_dictionary_frame,
+        encode_triples,
+    )
     from ontoea_spark.pipeline.extract import extract_pages_text, extract_triples
     from ontoea_spark.pipeline.kg_build import gold_links, split_two_kgs
 
@@ -224,11 +227,19 @@ def run_pipeline_checkpointed(
     )
     t1 = triples.filter("kgn = 1").select("s", "p", "o")
     t2 = triples.filter("kgn = 2").select("s", "p", "o")
+    # one pass over the triple snapshot builds BOTH dictionaries for
+    # BOTH KGs (values identical to per-call interleaved_ids — parity
+    # tested); the ent/rel stages are then cheap filters of the snapshot
+    dicts = cp.run_stage(
+        "dictionaries",
+        lambda: combined_dictionary_frame(triples, F.col("kgn")),
+    )
+    cols = ["kg", "elem", "freq", "rank", "id"]
     ent_ids = cp.run_stage(
-        "ent_ids", lambda: interleaved_ids(t1, t2, roles=("s", "o"))
+        "ent_ids", lambda: dicts.filter("grp = 'ent'").select(*cols)
     )
     rel_ids = cp.run_stage(
-        "rel_ids", lambda: interleaved_ids(t1, t2, roles=("p",))
+        "rel_ids", lambda: dicts.filter("grp = 'rel'").select(*cols)
     )
 
     def _edges() -> DataFrame:

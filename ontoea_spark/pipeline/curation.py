@@ -82,7 +82,7 @@ def contamination_check(
         .distinct()
     )
     return (
-        sh.join(bench_ids, "id", "left_anti")
+        sh.join(F.broadcast(bench_ids), "id", "left_anti")
         .join(F.broadcast(bench_sh), "shingle")
         .groupBy(F.col("id").alias(id_col))
         .agg(F.count("*").cast("long").alias("n_contaminated"))
