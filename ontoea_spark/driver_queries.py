@@ -473,6 +473,20 @@ def q_dedup_minhash(spark, sf_dir):
     return D.minhash_lsh_pairs(_documents(spark, sf_dir), n=3, bands=4)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the
+    MinHash-LSH candidate pairs — every doc labeled with the min doc_id
+    reachable through match edges (singletons keep their own id). The
+    step between pair-finding and canonicalization."""
+    from ontoea_spark.operators.graph import connected_components
+
+    docs = _documents(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, n=3, bands=4)
+    return connected_components(docs, pairs, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """16-bit SimHash signatures."""
     return D.simhash_signatures(_documents(spark, sf_dir), bits=16)
@@ -1246,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alignment_hits": q_alignment_hits,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
+        "dedup_clusters": q_dedup_clusters,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "hash_split": q_hash_split,
@@ -1522,6 +1537,40 @@ SELECT CAST(a.id AS BIGINT) AS id1, CAST(b.id AS BIGINT) AS id2,
 FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.id < b.id
 GROUP BY 1, 2
+"""
+
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+hashed AS (SELECT id, {H('shingle')} AS h FROM sh),
+mh AS (
+  SELECT id, CAST(hf.i AS BIGINT) AS hf,
+         min((hf.a * (h % {MERSENNE_P}) + hf.b) % {MERSENNE_P}) AS minhash
+  FROM hashed CROSS JOIN {_minhash_cases()}
+  GROUP BY id, hf.i
+),
+banded AS (
+  SELECT id, hf // 4 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hf) AS band_key
+  FROM mh GROUP BY id, hf // 4
+),
+p AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT DISTINCT * FROM (
+    SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p
+  )
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(min(dst) AS BIGINT) AS component
+FROM reach GROUP BY src
 """
 
     sql["dedup_simhash"] = f"""

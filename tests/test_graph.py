@@ -1,0 +1,25 @@
+"""connected_components: min-label propagation must find exact
+components on chains (worst-case diameter), cliques, and singletons."""
+
+from __future__ import annotations
+
+
+def test_connected_components_shapes(spark):
+    from ontoea_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    # chain 0-1-2-3-4, clique {6,7,8}, pair {9,11}; 5 and 10 singletons
+    pairs = spark.createDataFrame(
+        [
+            (1, 0), (1, 2), (2, 3), (3, 4),
+            (6, 7), (7, 8), (6, 8),
+            (11, 9),
+        ],
+        "id1 long, id2 long",
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, pairs, id_col="id").collect()
+    }
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6, 8: 6, 9: 9, 10: 10, 11: 9}
+    assert got == want
