@@ -227,6 +227,19 @@ def test_distributed_gradients_sparse_output(spark):
     assert loss > 0.0
 
 
+def test_alignment_quality_noisy(spark):
+    """Robustness gate: 3x the default dropout (0.3) and 5x the noise
+    edges (200) — the reference-default trainer (hier/cv MLP heads,
+    sub-epoch schedule) must still align well above chance
+    (observed 0.914 at seed 7/42; gate leaves slack for env drift)."""
+    b = generate_two_kg(spark, n_ent=300, dropout=0.3, noise=200, seed=7)
+    data = prepare_from_parts(spark, b.triples1, b.triples2, b.links, b.cv)
+    model = train(data, TrainConfig(dim=32, epochs=100, seed=42))
+    m = evaluate(spark, data, model).collect()[0]
+    assert m.hits1 >= 0.8, m.asDict()
+    assert m.mrr >= 0.85, m.asDict()
+
+
 def test_alignment_csls_variant(spark, bench_data):
     """V5 third pass: CSLS-rescaled fused scores (T4) keep quality."""
     model = train(bench_data, TrainConfig(dim=32, epochs=100, seed=42))
