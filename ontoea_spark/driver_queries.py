@@ -804,6 +804,21 @@ def q_hash_split(spark, sf_dir):
     return hash_split(_documents(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style bigram repetition signals (template/spam detection)."""
+    from ontoea_spark.pipeline.curation import repetition_signals
+
+    return repetition_signals(_documents(spark, sf_dir))
+
+
+def q_source_cap(spark, sf_dir):
+    """Domain balancing: deterministic hash-ordered cap of 30 docs per
+    source."""
+    from ontoea_spark.pipeline.curation import stratified_cap
+
+    return stratified_cap(_documents(spark, sf_dir), per_source=30)
+
+
 def q_source_stats(spark, sf_dir):
     """Per-source (domain) corpus statistics — one map-side-combinable
     aggregation for domain-mix monitoring."""
@@ -1051,6 +1066,21 @@ def q_ann_topk_manhattan(spark, sf_dir):
     return SJ.blocked_topk_join(left, right, k=3, metric="manhattan")
 
 
+def q_ann_ivf_kmeans_top1(spark, sf_dir):
+    """IVF ANN with a data-adaptive quantizer: centroids from the
+    distributed deterministic k-means (operators/kmeans.py, golden-gated
+    vs a NumPy Lloyd's transcription — iterative, so no SQL oracle;
+    rows-only driver check), then the cell-bucketed cosine top-1 join."""
+    from ontoea_spark.operators.kmeans import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    cents = kmeans_fit(e, k=8, n_iter=3)
+    left = e.filter(F.col("id") % 2 == 0)
+    right = e.filter(F.col("id") % 2 == 1)
+    return SJ.ivf_topk_join(left, right, cents, k=1)
+
+
 def q_class_complete_full(spark, sf_dir):
     """Full G8: class completion by relation with greedy entropy descent
     (inference.py:193-282) — iterative driver-coordinated rounds, no SQL
@@ -1265,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "hash_split": q_hash_split,
         "source_stats": q_source_stats,
+        "repetition": q_repetition,
+        "source_cap": q_source_cap,
         "triple_pr": q_triple_pr,
         "extract_fidelity": q_extract_fidelity,
         "ann_lsh_top1": q_ann_lsh_top1,
@@ -1285,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word2vec_parse": q_word2vec_parse,
         "dedup_embedding": q_dedup_embedding,
         "ann_ivf_top1": q_ann_ivf_top1,
+        "ann_ivf_kmeans_top1": q_ann_ivf_kmeans_top1,
     }
 
 
@@ -1943,6 +1976,35 @@ SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
             WHEN bucket < 95 THEN 'valid'
             ELSE 'test' END AS split
 FROM b
+"""
+
+    sql["repetition"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+c AS (SELECT doc_id, bg, count(*) AS n FROM bi GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(max(n) AS BIGINT) AS top_bigram_n,
+       round(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac,
+       round(1 - count(*) * 1.0 / sum(n), 6) AS dup_bigram_frac
+FROM c GROUP BY doc_id
+"""
+
+    sql["source_cap"] = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {H("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS BIGINT) AS rn
+  FROM documents
+)
+SELECT doc_id, source, rn FROM ranked WHERE rn <= 30
 """
 
     sql["source_stats"] = """

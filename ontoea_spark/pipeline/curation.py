@@ -110,6 +110,70 @@ def hash_split(
     )
 
 
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: bigram
+    occurrence stats — how much of the text is the same 2-gram over and
+    over (template/spam pages score high).
+
+    Returns DataFrame[doc_id, n_bigrams, top_bigram_n, top_bigram_frac,
+    dup_bigram_frac]. Shape: one explode + two groupBys, all combiner-
+    friendly; per-doc bigram counts never leave their doc's key space.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " +").alias("t")
+    ).filter(F.size("t") >= 2)
+    bi = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat(
+                    F.element_at(F.col("t"), i + 1),
+                    F.lit(" "),
+                    F.element_at(F.col("t"), i + 2),
+                ),
+            )
+        ).alias("bg"),
+    )
+    counts = bi.groupBy(id_col, "bg").agg(F.count("*").alias("n"))
+    return counts.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.max("n").cast("long").alias("top_bigram_n"),
+        F.round(F.max("n") * 1.0 / F.sum("n"), 6).alias("top_bigram_frac"),
+        F.round(1 - F.count("*") * 1.0 / F.sum("n"), 6).alias("dup_bigram_frac"),
+    )
+
+
+def stratified_cap(
+    docs: DataFrame,
+    per_source: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain balancing: keep at most ``per_source`` documents per
+    source, chosen by a deterministic hash order (reproducible sample,
+    never rand()). Returns DataFrame[doc_id, source, rn].
+
+    Shape: one window partitioned by source — the partition key IS the
+    domain, so hot domains are the skew risk; at crawl scale cap first
+    with an approximate per-source count filter, or salt the window and
+    take the per-salt cap, then re-rank the survivors (cap*salts rows).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        portable_hash64(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= per_source)
+        .select(id_col, source_col, "rn")
+    )
+
+
 def source_stats(
     docs: DataFrame, source_col: str = "source"
 ) -> DataFrame:

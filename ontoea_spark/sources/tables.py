@@ -50,6 +50,33 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.parquet(source)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: tuple[str, ...] = ("s_id",),
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed+sorted table so downstream equi-joins and
+    aggregations on the bucket key are CO-LOCATED — Spark reads matching
+    buckets pairwise and skips the shuffle entirely (verified by the
+    no-Exchange plan assertion in tests/test_tables.py). This is the
+    layout for the big edge/adjacency tables that every alignment round
+    re-joins on entity id: pay one clustered write, skip a shuffle per
+    downstream join. (Iceberg's analogue is a bucket partition transform;
+    the parquet path uses the Spark bucketing catalog protocol, which
+    requires saveAsTable.)"""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_edges(
     df: DataFrame,
     target: str,

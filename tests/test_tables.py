@@ -41,3 +41,35 @@ def test_read_write_parquet_roundtrip(spark, tmp_path):
     assert any(p.startswith("kg=") for p in os.listdir(out))
     back = read_pages(spark, out)
     assert back.count() == 2
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join
+    with ZERO Exchange operators — the co-located layout the edge tables
+    ship with (pay one clustered write, skip a shuffle per join)."""
+    from pyspark.sql import functions as F
+
+    from ontoea_spark.sources.tables import write_bucketed
+
+    edges = spark.range(2000).select(
+        (F.col("id") % 97).alias("s_id"), F.col("id").alias("o_id")
+    )
+    deg = spark.range(97).select(
+        F.col("id").alias("s_id"), (F.col("id") * 2).alias("deg")
+    )
+    write_bucketed(edges, "edges_b", str(tmp_path / "edges_b"), n_buckets=8)
+    write_bucketed(deg, "deg_b", str(tmp_path / "deg_b"), n_buckets=8)
+    try:
+        # force a non-broadcast join so bucketing is what saves the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("edges_b").join(spark.table("deg_b"), "s_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 2000
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS edges_b")
+        spark.sql("DROP TABLE IF EXISTS deg_b")
