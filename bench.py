@@ -109,7 +109,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "events_sessionize",
         "dedup_minhash",
         "dedup_simhash",
+        "dedup_clusters",
         "doc_fingerprint",
+        "pii_scrub",
+        "repetition",
+        "contamination",
         "ann_topk",
         "csls_top1",
         "hits_metrics",
