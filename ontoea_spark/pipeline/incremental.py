@@ -1,0 +1,123 @@
+"""Incremental KG updates — extend an existing graph with a new batch of
+pages WITHOUT re-ranking the world (rebuild scope; the reference is
+batch-only, so these are rebuild semantics, documented here).
+
+The production reality at crawl scale: the corpus grows by deltas, and
+re-running the full dictionary rank re-assigns every id, invalidating
+every stored edge, embedding row, and checkpoint. The incremental
+contract instead:
+
+* existing (elem -> id) assignments are FROZEN (stability beats the
+  interleaving aesthetic for deltas — documented deviation from the
+  batch interleave, which only matters for fresh training inits);
+* unseen elements get ids appended after the current max id, ordered by
+  (freq desc, elem desc) within the delta — deterministic, dense,
+  collision-free by construction;
+* delta edges are encoded against the merged dictionary and unioned
+  onto the existing edge table (an append-only Iceberg write at scale).
+
+Shapes: the delta's unseen-element set is found with one anti-join of
+delta vocab (small) against the dictionary (broadcast the delta side at
+scale); id assignment reuses the same two-phase exact rank as the batch
+path; nothing touches existing rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontoea_spark.operators.dictionary import _rank_freqs
+
+
+@dataclass
+class IncrementalResult:
+    ent_ids: DataFrame  # (kg, elem, freq, rank, id) — old rows untouched
+    rel_ids: DataFrame
+    edges: DataFrame    # (s_id, p_id, o_id, kg) — old ∪ newly encoded
+
+
+def extend_dictionary(
+    existing: DataFrame,
+    delta_occurrences: DataFrame,
+) -> DataFrame:
+    """Append unseen elements to a dictionary with frozen existing ids.
+
+    existing: DataFrame[kg, elem, freq, rank, id];
+    delta_occurrences: DataFrame[kg, elem] — one row per occurrence in
+    the delta (duplicates = frequency).
+
+    New ids start at max(existing id) + 1, ordered by (freq desc,
+    "kg\\telem" desc) over the unseen (kg, elem) pairs — the D1
+    frequency ordering with the kg folded into the tie-break key,
+    applied to the delta only. Returns the merged dictionary.
+    """
+    freqs = delta_occurrences.groupBy("kg", "elem").agg(
+        F.count("*").alias("freq")
+    )
+    unseen = freqs.join(
+        existing.select("kg", "elem"), ["kg", "elem"], "left_anti"
+    )
+    # rank the unseen tail; kg rides through the rank key via elem
+    # uniqueness per (kg, elem) — rank within the whole unseen set so
+    # ids stay globally dense
+    ranked = _rank_freqs(
+        unseen.select(
+            F.concat(F.col("kg").cast("string"), F.lit("\t"), "elem").alias(
+                "elem"
+            ),
+            "freq",
+        )
+    )
+    base = existing.agg(F.coalesce(F.max("id"), F.lit(-1)).alias("m"))
+    split = F.split(F.col("elem"), "\t", 2)
+    new_rows = (
+        ranked.crossJoin(F.broadcast(base))
+        .select(
+            split.getItem(0).cast("long").alias("kg"),
+            split.getItem(1).alias("elem"),
+            F.col("freq").cast("long"),
+            F.col("rank").cast("long"),
+            (F.col("m") + 1 + F.col("rank")).cast("long").alias("id"),
+        )
+    )
+    return existing.unionByName(new_rows)
+
+
+def incremental_update(
+    ent_ids: DataFrame,
+    rel_ids: DataFrame,
+    edges: DataFrame,
+    delta_triples: DataFrame,
+    kg_expr,
+) -> IncrementalResult:
+    """Fold a delta triple batch (s, p, o) into an existing encoded KG.
+
+    ``kg_expr``: Column mapping a delta triple to its KG (1|2).
+    Existing ids are frozen; delta edges are encoded against the merged
+    dictionaries and appended.
+    """
+    from ontoea_spark.operators.dictionary import encode_triples
+
+    d = delta_triples.select(kg_expr.cast("long").alias("kg"), "s", "p", "o")
+    d = d.localCheckpoint(eager=True)
+    ent_occ = d.select("kg", F.col("s").alias("elem")).unionAll(
+        d.select("kg", F.col("o").alias("elem"))
+    )
+    rel_occ = d.select("kg", F.col("p").alias("elem"))
+    ent2 = extend_dictionary(ent_ids, ent_occ).localCheckpoint(eager=True)
+    rel2 = extend_dictionary(rel_ids, rel_occ).localCheckpoint(eager=True)
+    new_edges = None
+    for kg in (1, 2):
+        enc = encode_triples(
+            d.filter(F.col("kg") == kg).select("s", "p", "o"),
+            ent2.filter(F.col("kg") == kg),
+            rel2.filter(F.col("kg") == kg),
+        ).withColumn("kg", F.lit(kg).cast("long"))
+        new_edges = enc if new_edges is None else new_edges.unionByName(enc)
+    merged = edges.unionByName(new_edges).dropDuplicates(
+        ["s_id", "p_id", "o_id", "kg"]
+    )
+    return IncrementalResult(ent_ids=ent2, rel_ids=rel2, edges=merged)
