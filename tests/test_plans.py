@@ -1,0 +1,52 @@
+"""Physical-plan regression gates for the scale properties the engine
+depends on: predicate pushdown reaching the parquet scan, and candidate
+joins staying equi-joins (never a row-level cartesian product)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    from ontoea_spark import driver_queries as DQ
+
+    df = DQ.queries()["q1_pricing"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan, plan
+    # the shipdate predicate must reach the scan, not sit in a Filter above it
+    scan_part = plan[plan.index("PushedFilters") :]
+    assert "l_shipdate" in scan_part[:400], scan_part[:400]
+
+
+def test_embedding_neardup_is_not_all_pairs(spark):
+    """The near-dup path must candidate-generate via bucket equi-joins —
+    a CartesianProduct/BroadcastNestedLoop over the embedding rows is the
+    n^2 regression the LSH banding exists to prevent."""
+    from ontoea_spark import driver_queries as DQ
+
+    df = DQ.queries()["dedup_embedding"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    from ontoea_spark import driver_queries as DQ
+
+    df = DQ.queries()["contamination"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lsh_topk_is_equi_join(spark):
+    from ontoea_spark import driver_queries as DQ
+
+    df = DQ.queries()["ann_lsh_top1"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
