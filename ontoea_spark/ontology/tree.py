@@ -113,3 +113,51 @@ def disjoint_targets(paths: DataFrame, disjoint: DataFrame) -> DataFrame:
         "path",
         F.coalesce("disj", F.array().cast("array<string>")).alias("disj"),
     )
+
+
+def ontology_structure_lines(
+    subclass: DataFrame, max_layers: int = 10
+) -> list[str]:
+    """G10 ``print_ontology_structure`` (inference.py:104-133): BFS
+    layer-by-layer pretty-print of the class tree — one line per depth,
+    each parent's children rendered as '(c1 c2 ...)\\t', capped at
+    ``max_layers`` layers. Diagnostic only; the tree aggregation is one
+    Spark groupBy over the (child, parent) edges (|classes| rows), the
+    string formatting is driver-side like the reference's print loop.
+
+    Deviation: children within a node are SORTED (the reference iterates
+    a Python set — nondeterministic print order); basenames strip the
+    URI prefix up to the last '/' or '#', matching os.path.split on the
+    reference's URIs.
+    """
+    import posixpath
+
+    def base(col):
+        return F.element_at(F.split(F.regexp_replace(col, "#", "/"), "/"), -1)
+
+    tree_rows = (
+        subclass.select(
+            base(F.col("parent")).alias("p"), base(F.col("child")).alias("c")
+        )
+        .groupBy("p")
+        .agg(F.array_sort(F.collect_set("c")).alias("children"))
+        .collect()
+    )
+    tree = {r.p: list(r.children) for r in tree_rows}
+    root = posixpath.split(THING_URI.replace("#", "/"))[-1]
+    queue: list[list[str]] = [[root]]
+    lines: list[str] = []
+    for _ in range(max_layers):
+        if not queue:
+            break
+        layer_nums = len(queue)
+        line = ""
+        while layer_nums:
+            node = queue.pop(0)
+            line += "(" + " ".join(node) + ")\t"
+            for child in node:
+                if child in tree:
+                    queue.append(tree[child])
+            layer_nums -= 1
+        lines.append(line)
+    return lines

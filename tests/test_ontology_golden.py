@@ -160,3 +160,25 @@ def test_paths_and_truncation(spark, cpd):
     }
     for c, p in tr.items():
         assert p == _path(c, sub)[-2:] or (len(_path(c, sub)) <= 2 and p == _path(c, sub))
+
+
+def test_ontology_structure_lines(spark):
+    """G10 golden: BFS layers of a 3-level tree, sorted children."""
+    from ontoea_spark.ontology.tree import THING_URI, ontology_structure_lines
+
+    sub = spark.createDataFrame(
+        [
+            ("ns/B", THING_URI),
+            ("ns/A", THING_URI),
+            ("ns/C", "ns/A"),
+            ("ns/D", "ns/A"),
+            ("ns/E", "ns/B"),
+        ],
+        "child string, parent string",
+    )
+    lines = ontology_structure_lines(sub)
+    assert lines == [
+        "(Thing)\t",
+        "(A B)\t",
+        "(C D)\t(E)\t",
+    ]
