@@ -23,3 +23,21 @@ def test_connected_components_shapes(spark):
     }
     want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6, 8: 6, 9: 9, 10: 10, 11: 9}
     assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping must converge a 200-node chain (diameter 199)
+    well inside the default 25-round cap — plain 1-hop min propagation
+    would need 199 rounds and previously returned wrong labels."""
+    from ontoea_spark.operators.graph import connected_components
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, pairs, id_col="id").collect()
+    }
+    assert got == {i: 0 for i in range(n)}
