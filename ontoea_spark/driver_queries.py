@@ -316,6 +316,24 @@ def q_adjacency_out(spark, sf_dir):
     )
 
 
+def q_kg_components(spark, sf_dir):
+    """Graph analytics over the constructed KG itself: weakly-connected
+    components of KG1's entity graph (s—o edges), labels = min reachable
+    entity URI (operators/graph.py pointer-jumping propagation)."""
+    from ontoea_spark.operators.graph import connected_components
+
+    t1 = _triples(spark, sf_dir, "kg1")
+    nodes = (
+        t1.select(F.col("s").alias("id"))
+        .unionAll(t1.select(F.col("o").alias("id")))
+        .distinct()
+    )
+    pairs = t1.select(F.col("s").alias("id1"), F.col("o").alias("id2"))
+    return connected_components(nodes, pairs, id_col="id").select(
+        F.col("id").alias("entity"), "component"
+    )
+
+
 def q_kg_stats(spark, sf_dir):
     """A4: per-KG entity/relation/triple counts."""
     out = []
@@ -1291,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "dedup_clusters": q_dedup_clusters,
+        "kg_components": q_kg_components,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "hash_split": q_hash_split,
@@ -1570,6 +1589,22 @@ SELECT CAST(a.id AS BIGINT) AS id1, CAST(b.id AS BIGINT) AS id2,
 FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.id < b.id
 GROUP BY 1, 2
+"""
+
+    sql["kg_components"] = f"""
+WITH RECURSIVE {_TRIPLES_CTE},
+nodes AS (
+  SELECT DISTINCT id FROM (SELECT s AS id FROM t1 UNION ALL SELECT o FROM t1)
+),
+e AS (
+  SELECT DISTINCT * FROM (SELECT s AS a, o AS b FROM t1 UNION ALL SELECT o, s FROM t1)
+),
+reach AS (
+  SELECT id AS src, id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+)
+SELECT src AS entity, min(dst) AS component FROM reach GROUP BY src
 """
 
     sql["dedup_clusters"] = f"""

@@ -39,25 +39,26 @@ def connected_components(
     (singleton components).
 
     nodes: DataFrame with ``id_col``; pairs: DataFrame[left_col, right_col].
+    Ids may be any orderable type (long doc ids, URI strings, ...).
     Returns DataFrame[id, component].
     """
     sym = (
         pairs.select(
-            F.col(left_col).cast("long").alias("a"),
-            F.col(right_col).cast("long").alias("b"),
+            F.col(left_col).alias("a"),
+            F.col(right_col).alias("b"),
         )
         .unionAll(
             pairs.select(
-                F.col(right_col).cast("long").alias("a"),
-                F.col(left_col).cast("long").alias("b"),
+                F.col(right_col).alias("a"),
+                F.col(left_col).alias("b"),
             )
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
     labels = nodes.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(id_col).cast("long").alias("comp"),
+        F.col(id_col).alias("id"),
+        F.col(id_col).alias("comp"),
     ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
