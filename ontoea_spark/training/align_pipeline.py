@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ontoea_spark.functions.hashing import portable_hash64
 from ontoea_spark.operators import evaluation as EV
 from ontoea_spark.operators import simjoin as SJ
-from ontoea_spark.operators.dictionary import encode_triples, interleaved_ids
+from ontoea_spark.operators.dictionary import encode_triples, two_kg_dictionaries
 from ontoea_spark.training.trainer import OntoEATrainer, TrainConfig
 
 
@@ -82,8 +82,13 @@ def prepare_from_parts(
     from ontoea_spark.ontology import fixture as OF
     from ontoea_spark.ontology import tree as OT
 
-    ent_ids = interleaved_ids(triples1, triples2, roles=("s", "o")).cache()
-    rel_ids = interleaved_ids(triples1, triples2, roles=("p",)).cache()
+    # one pass over the triple stream for both dictionaries (values
+    # identical to per-call interleaved_ids — parity-tested); the
+    # builder localCheckpoints the result, so no extra cache needed
+    both = triples1.withColumn("kgn", F.lit(1)).unionByName(
+        triples2.withColumn("kgn", F.lit(2))
+    )
+    ent_ids, rel_ids = two_kg_dictionaries(both, F.col("kgn"))
     e1m = ent_ids.filter("kg = 1")
     e2m = ent_ids.filter("kg = 2")
     edges = (
