@@ -87,7 +87,13 @@ def _auto_blocks(df: DataFrame, target_rows: int = TARGET_BLOCK_ROWS) -> int:
 def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, n_blocks: int | None, side: str) -> DataFrame:
     if n_blocks is None:
         n_blocks = _auto_blocks(df)
-    b = F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).alias(f"{side}b")
+    # Block on a HASH of the id, not the raw id: pmod(id, n) collapses
+    # structured id sets (even-only ids with even n land in half the
+    # residues; strides sharing a factor with n are worse) and would void
+    # the TARGET_BLOCK_ROWS per-row memory bound. xxhash64 disperses any
+    # id structure; block membership never affects results (every
+    # left-block x right-block pair is scored), only balance.
+    b = F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_blocks)).alias(f"{side}b")
     return (
         df.select(b, F.col(id_col).cast("long").alias(f"{side}id"), F.col(vec_col).alias("vec"))
         .groupBy(f"{side}b")

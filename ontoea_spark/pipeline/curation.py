@@ -151,24 +151,47 @@ def stratified_cap(
     per_source: int,
     id_col: str = "doc_id",
     source_col: str = "source",
+    n_salts: int = 16,
 ) -> DataFrame:
     """Domain balancing: keep at most ``per_source`` documents per
     source, chosen by a deterministic hash order (reproducible sample,
     never rand()). Returns DataFrame[doc_id, source, rn].
 
-    Shape: one window partitioned by source — the partition key IS the
-    domain, so hot domains are the skew risk; at crawl scale cap first
-    with an approximate per-source count filter, or salt the window and
-    take the per-salt cap, then re-rank the survivors (cap*salts rows).
+    Skew-safe two-phase shape. A single window partitioned by source
+    puts an entire hot domain (half of a web crawl can be one registrar)
+    into ONE task. Instead:
+
+    1. per-(source, salt) cap — salt = xxhash64(id) mod ``n_salts``, so a
+       hot domain's rows spread over ``n_salts`` window partitions; each
+       keeps its local top-``per_source`` by the same deterministic hash
+       order, leaving <= per_source * n_salts survivors per source;
+    2. re-rank the survivors with the source-level window and apply the
+       final cap. The phase-2 partition is bounded at cap * n_salts rows
+       regardless of domain size.
+
+    Output is identical to the naive single-window cap: a row in the
+    global top-``per_source`` of its source has per-salt rank <= its
+    global rank <= per_source, so phase 1 never eliminates it.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(source_col).orderBy(
-        portable_hash64(F.col(id_col).cast("string")).asc(),
-        F.col(id_col).asc(),
+    hcol = portable_hash64(F.col(id_col).cast("string"))
+    salted = docs.select(
+        F.col(id_col), F.col(source_col), hcol.alias("_h"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("_salt"),
+    )
+    w1 = Window.partitionBy(source_col, "_salt").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    survivors = (
+        salted.withColumn("_rs", F.row_number().over(w1))
+        .filter(F.col("_rs") <= per_source)
+    )
+    w2 = Window.partitionBy(source_col).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
     )
     return (
-        docs.withColumn("rn", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rn", F.row_number().over(w2).cast("long"))
         .filter(F.col("rn") <= per_source)
         .select(id_col, source_col, "rn")
     )

@@ -117,7 +117,17 @@ def incremental_update(
             rel2.filter(F.col("kg") == kg),
         ).withColumn("kg", F.lit(kg).cast("long"))
         new_edges = enc if new_edges is None else new_edges.unionByName(enc)
-    merged = edges.unionByName(new_edges).dropDuplicates(
-        ["s_id", "p_id", "o_id", "kg"]
-    )
+    # Append-only merge: the existing edge table is never shuffled.
+    # 1. dedup WITHIN the (small) delta;
+    # 2. broadcast the delta and semi-join the big table against it —
+    #    one scan of `edges`, no exchange — to find already-present keys;
+    # 3. anti-join the delta against that (tiny) match set and append
+    #    only the novel rows.  A unionByName + dropDuplicates here would
+    #    re-shuffle the ENTIRE edge table on every delta, making delta
+    #    cost O(full table) instead of O(delta + one scan).
+    key = ["s_id", "p_id", "o_id", "kg"]
+    delta_edges = new_edges.dropDuplicates(key).localCheckpoint(eager=True)
+    already = edges.join(F.broadcast(delta_edges.select(*key)), on=key, how="leftsemi")
+    novel = delta_edges.join(F.broadcast(already.select(*key)), on=key, how="left_anti")
+    merged = edges.unionByName(novel)
     return IncrementalResult(ent_ids=ent2, rel_ids=rel2, edges=merged)

@@ -268,9 +268,12 @@ class OntoEATrainer:
         if cdf is not None:
             # B6 prob-based corruption: inverse-CDF draw from the
             # per-class conflict-weighted distribution (sample.prob_pick
-            # semantics, vectorized)
+            # semantics, vectorized). The CDF column is the replaced
+            # node's class — here the PARENT, since hierarchy negatives
+            # corrupt the tail (reference generate_neg_triples_fast uses
+            # prob_dict[tail]).
             u = self.rng.random(len(sub_edges))
-            npa = np.argmax(cdf[:, ch] > u[None, :], axis=0)
+            npa = np.argmax(cdf[:, pa] > u[None, :], axis=0)
         else:
             npa = self.rng.integers(0, len(self.onto), size=len(sub_edges))
         if self.hier_mlp is not None:

@@ -50,3 +50,17 @@ def test_lsh_topk_is_equi_join(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_source_cap_first_window_is_salt_partitioned(spark):
+    """The stratified cap's first window must partition by (source, salt)
+    so a hot domain never lands in a single window task; the final
+    source-level window then sees at most cap * n_salts rows."""
+    from ontoea_spark import driver_queries as DQ
+
+    df = DQ.queries()["source_cap"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "_salt" in plan, plan
+    # salted window comes before (deeper in the plan string than) the
+    # final source-only window: two Window operators total
+    assert plan.count("Window") >= 2, plan
