@@ -567,6 +567,27 @@ def q_csls_top1(spark, sf_dir):
     )
 
 
+def q_csls_top1_candidates(spark, sf_dir):
+    """T4+V2 at scale: CSLS greedy top-1 over the union-of-top-k
+    candidate table (csls_candidate_scores) instead of the n1 x n2
+    matrix — neighborhood means exact, argmax restricted to candidates
+    (documented approximation; degenerate-equality tested)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    csls = SJ.csls_candidate_scores(left, right, k_cand=10, csls_k=10)
+    w = Window.partitionBy("lid").orderBy(F.desc("csls"), F.asc("rid"))
+    return (
+        csls.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("lid", "rid", "csls")
+    )
+
+
 def q_hits_metrics(spark, sf_dir):
     """A7: Hits@{1,5,10}, MR, MRR with gold(lid) = lid + 1."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -581,6 +602,27 @@ def q_hits_metrics(spark, sf_dir):
         F.col("id").alias("lid"), (F.col("id") + 1).alias("gold_rid")
     )
     ranks = EV.ranks_vs_gold(scores, gold)
+    return EV.rank_metrics(ranks, top_k=(1, 5, 10))
+
+
+def q_hits_metrics_candidates(spark, sf_dir):
+    """A7 at scale: the same metrics over a blocked top-k_cand candidate
+    table instead of the n1 x n2 score matrix (gold absent from the
+    candidates => rank = k_cand + 1; hits exact, mr/mrr bounds — see
+    ranks_vs_gold_candidates)."""
+    k_cand = 10
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cands = SJ.blocked_topk_join(left, right, k=k_cand, metric="cosine")
+    gold = left.select(
+        F.col("id").alias("lid"), (F.col("id") + 1).alias("gold_rid")
+    )
+    ranks = EV.ranks_vs_gold_candidates(cands, gold, k_cand)
     return EV.rank_metrics(ranks, top_k=(1, 5, 10))
 
 
@@ -1314,18 +1356,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_pr": q_triple_pr,
         # --- anchors: dedup / ANN / eval -----------------------------------
         "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "kg_components": q_kg_components,
         "ann_topk": q_ann_topk,
         "csls_top1": q_csls_top1,
+        "csls_top1_candidates": q_csls_top1_candidates,
         "hits_metrics": q_hits_metrics,
+        "hits_metrics_candidates": q_hits_metrics_candidates,
         # --- anchors: ontology ---------------------------------------------
         "onto_class_paths": q_onto_class_paths,
         "onto_compat_v1": q_onto_compat_v1,
-        "onto_compat_v2": q_onto_compat_v2,
         "onto_compat_v5": q_onto_compat_v5,
         "onto_compat_seeded": q_onto_compat_seeded,
         "rel_class_entropy": q_rel_class_entropy,
@@ -1346,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "dedup_jaccard": q_dedup_jaccard,
+        "onto_compat_v2": q_onto_compat_v2,
         "onto_compat_v3": q_onto_compat_v3,
         "onto_compat_v4": q_onto_compat_v4,
         "onto_compat_v6": q_onto_compat_v6,
@@ -1757,6 +1801,65 @@ rk AS (
   SELECT s.lid,
          1 + sum(CASE WHEN s.sim > g.gsim THEN 1 ELSE 0 END)
            + sum(CASE WHEN s.sim = g.gsim AND s.rid < s.lid + 1 THEN 1 ELSE 0 END) AS rank
+  FROM s JOIN g USING (lid)
+  GROUP BY s.lid
+)
+SELECT round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
+       round(avg(CASE WHEN rank <= 5 THEN 1.0 ELSE 0.0 END), 6) AS hits5,
+       round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10,
+       round(avg(rank * 1.0), 6) AS mr,
+       round(avg(1.0 / rank), 6) AS mrr
+FROM rk
+"""
+
+    # candidate-protocol CSLS: candidate set = union of row-wise and
+    # column-wise exact top-10 (computed here from the full matrix, which
+    # is definitionally the same set); CSLS means over the candidates
+    # equal the full-matrix means because each row's/column's top-10 is
+    # contained in the union
+    sql["csls_top1_candidates"] = f"""
+WITH {_EMB_PAIRS_CTE},
+rr AS (
+  SELECT lid, rid, sim,
+         row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS row_rk,
+         row_number() OVER (PARTITION BY rid ORDER BY sim DESC, lid ASC) AS col_rk
+  FROM s
+),
+cand AS (SELECT lid, rid, sim FROM rr WHERE row_rk <= 10 OR col_rk <= 10),
+nl AS (
+  SELECT lid, avg(sim) AS near_l FROM (
+    SELECT lid, sim, row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rk FROM cand
+  ) WHERE rk <= 10 GROUP BY lid
+),
+nr AS (
+  SELECT rid, avg(sim) AS near_r FROM (
+    SELECT rid, sim, row_number() OVER (PARTITION BY rid ORDER BY sim DESC, lid ASC) AS rk FROM cand
+  ) WHERE rk <= 10 GROUP BY rid
+),
+c AS (
+  SELECT lid, rid, round(2 * sim - near_l - near_r, 6) AS csls
+  FROM cand JOIN nl USING (lid) JOIN nr USING (rid)
+),
+best AS (
+  SELECT lid, rid, csls, row_number() OVER (PARTITION BY lid ORDER BY csls DESC, rid ASC) AS rk
+  FROM c
+)
+SELECT CAST(lid AS BIGINT) AS lid, CAST(rid AS BIGINT) AS rid, csls
+FROM best WHERE rk = 1
+"""
+
+    # candidate-protocol hits: the full-pairs rank clamped to k_cand + 1
+    # is definitionally what the candidate path computes (its top-k_cand
+    # candidates are the true top k_cand), so the oracle clamps the
+    # all-pairs rank instead of re-simulating the blocking
+    sql["hits_metrics_candidates"] = f"""
+WITH {_EMB_PAIRS_CTE},
+g AS (SELECT lid, sim AS gsim FROM s WHERE rid = lid + 1),
+rk AS (
+  SELECT s.lid,
+         least(1 + sum(CASE WHEN s.sim > g.gsim THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN s.sim = g.gsim AND s.rid < s.lid + 1 THEN 1 ELSE 0 END),
+               11) AS rank
   FROM s JOIN g USING (lid)
   GROUP BY s.lid
 )

@@ -51,6 +51,41 @@ def ranks_vs_gold(scores: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def ranks_vs_gold_candidates(
+    cands: DataFrame, gold: DataFrame, k_cand: int
+) -> DataFrame:
+    """A7 over a top-k candidate table — the 100x-scale evaluation
+    protocol (the all-pairs ranks_vs_gold materializes n1 x n2 rows; this
+    consumes blocked_topk_join(k=k_cand)'s |left| x k_cand rows).
+
+    cands: DataFrame[lid, rid, sim, rk] where rk is the EXACT global rank
+    per lid in (sim desc, rid asc) order — blocked_topk_join guarantees
+    this because its candidates are the true top k_cand of the full right
+    side. gold: DataFrame[lid, gold_rid] with one row per evaluated lid.
+
+    Gold-rank convention (documented, matches reference calculate_rank
+    truncation semantics, alignment.py:149-171): if the gold partner is
+    among the candidates its candidate rank IS its full-table rank;
+    otherwise rank := k_cand + 1 — the tightest provable lower bound.
+    Consequently Hits@k is EXACT for every k <= k_cand, MR is a lower
+    bound and MRR an upper bound, with equality when every gold ranks
+    within k_cand (asserted against the all-pairs path in
+    tests/test_alignment.py).
+    """
+    hit = cands.select(
+        F.col("lid"), F.col("rid").alias("gold_rid"), F.col("rk")
+    )
+    return (
+        gold.join(hit, ["lid", "gold_rid"], "left")
+        .select(
+            "lid",
+            F.coalesce(F.col("rk"), F.lit(k_cand + 1))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
 def rank_metrics(
     ranks: DataFrame, top_k: tuple[int, ...] = (1, 5, 10, 50)
 ) -> DataFrame:

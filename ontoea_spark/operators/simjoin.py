@@ -371,6 +371,43 @@ def ivf_topk_join(
     )
 
 
+def csls_candidate_scores(
+    left: DataFrame,
+    right: DataFrame,
+    k_cand: int = 10,
+    csls_k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """CSLS over a candidate table — the 100x-scale protocol the
+    csls_rescale docstring prescribes, as tested code: the candidate set
+    is the UNION of the row-wise and column-wise exact top-k_cand joins,
+    so for every candidate pair both CSLS neighborhood means are EXACT
+    (each row's/column's true top-csls_k sims are fully contained in the
+    union when k_cand >= csls_k — any non-candidate pair scores below
+    them by construction). The only approximation vs the full matrix is
+    that the final ranking is restricted to candidate pairs; with
+    k_cand >= |right| it degenerates to the exact full-matrix CSLS
+    (asserted in tests/test_simjoin.py).
+
+    Returns DataFrame[lid, rid, sim, csls] over the candidate pairs.
+    """
+    if k_cand < csls_k:
+        raise ValueError(
+            f"k_cand ({k_cand}) must be >= csls_k ({csls_k}) or the "
+            "neighborhood means are computed over incomplete top lists"
+        )
+    rows = blocked_topk_join(left, right, k=k_cand, metric=metric)
+    cols = blocked_topk_join(right, left, k=k_cand, metric=metric).select(
+        F.col("rid").alias("lid"), F.col("lid").alias("rid"), "sim"
+    )
+    cand = (
+        rows.select("lid", "rid", "sim")
+        .unionByName(cols)
+        .dropDuplicates(["lid", "rid"])
+    )
+    return csls_rescale(cand, k=csls_k)
+
+
 def csls_rescale(scores: DataFrame, k: int = 10, round_to: int = 6) -> DataFrame:
     """CSLS rescaling over a pair-score table (similarity.py:55-81):
 

@@ -21,6 +21,7 @@ from ontoea_spark.training.trainer import (
     TrainConfig,
     distributed_gradients,
     limited_loss_grads,
+    local_hash_gradients,
 )
 
 
@@ -207,8 +208,9 @@ def test_distributed_gradients_match_driver(spark, bench_data):
 def test_distributed_gradients_sparse_output(spark):
     """Shard output is O(touched ids), never O(n_ent): with a huge
     embedding table and a tiny edge set, the gradient must touch at most
-    4 ids per edge (h, t, nh, nt) — the dense-per-shard regression
-    (VERDICT r01 #3) would light up all 50k rows."""
+    2·(1 + neg_per_pos) ids per edge (h, t, plus a corrupted id per
+    negative replica) — the dense-per-shard regression (VERDICT r01 #3)
+    would light up all 50k rows."""
     cfg = TrainConfig(dim=8, seed=5)
     rng = np.random.default_rng(5)
     n_ent, n_edges = 50_000, 12
@@ -223,8 +225,84 @@ def test_distributed_gradients_sparse_output(spark):
     )
     ge, gr, loss = distributed_gradients(spark, edges.repartition(3), ent, rel, cfg)
     touched = int(np.count_nonzero(np.any(ge != 0.0, axis=1)))
-    assert 0 < touched <= 4 * n_edges
+    assert 0 < touched <= 2 * (1 + cfg.neg_per_pos) * n_edges
     assert loss > 0.0
+
+
+def _fit_arrays(bench_data):
+    tri = np.array(
+        [[r.s_id, r.p_id, r.o_id] for r in bench_data.edges.collect()],
+        dtype=np.int64,
+    )
+    cv = np.array(
+        [[r.ent_id, r.cls_id] for r in bench_data.cv_ids.collect()],
+        dtype=np.int64,
+    )
+    tr = np.array(
+        [
+            [r.id1, r.id2]
+            for r in bench_data.links_split.filter("split = 'train'").collect()
+        ],
+        dtype=np.int64,
+    )
+    return tri, cv, tr
+
+
+def test_fit_spark_mode_matches_local_hash(spark, bench_data):
+    """VERDICT r02 #2 gate: a FULL fit() under gradient_mode='spark'
+    (every E2 epoch computed by executors via distributed_gradients,
+    Adagrad applied on the driver) must reproduce the 'local_hash'
+    driver loop's weights to ~1e-9 — the two paths share the hash-negative
+    kernel, so only float summation order across shards may differ."""
+    tri, cv, tr = _fit_arrays(bench_data)
+    models = {}
+    for mode in ("spark", "local_hash"):
+        cfg = TrainConfig(dim=16, epochs=10, seed=7, gradient_mode=mode)
+        m = OntoEATrainer(bench_data.n_ent, bench_data.n_rel, bench_data.n_cls, cfg)
+        m.fit(tri, bench_data.sub_ids, cv, tr, spark=spark if mode == "spark" else None)
+        models[mode] = m
+    a, b = models["spark"], models["local_hash"]
+    assert a.step_counts == b.step_counts
+    assert np.allclose(a.ent, b.ent, atol=1e-9)
+    assert np.allclose(a.rel, b.rel, atol=1e-9)
+    # E3-E6 run driver-side in both modes off the same RNG stream —
+    # divergence here would mean E2 perturbed the stream
+    assert np.array_equal(a.onto, b.onto) or np.allclose(a.onto, b.onto, atol=1e-9)
+    assert np.allclose(a.mapping, b.mapping, atol=1e-9)
+
+
+def test_fit_local_hash_quality(spark, bench_data):
+    """The hash-negative full-batch E2 (the scale-out semantics) must
+    still align the benchmark pair — quality evidence for spark mode,
+    which test_fit_spark_mode_matches_local_hash pins to this exact
+    path at 1e-9."""
+    model = train(
+        bench_data, TrainConfig(dim=32, epochs=60, seed=42, gradient_mode="local_hash")
+    )
+    m = evaluate(spark, bench_data, model).collect()[0]
+    assert m.hits1 >= 0.9, m.asDict()
+    assert m.mrr >= 0.93, m.asDict()
+
+
+def test_hits_candidates_parity_with_all_pairs(spark):
+    """VERDICT r02 #6: the candidate-table evaluation protocol
+    (blocked_topk_join(k_cand) -> ranks_vs_gold_candidates) must agree
+    with the all-pairs path on the sf0.01 fixture — Hits@k exactly for
+    k <= k_cand, MR as a lower bound, MRR as an upper bound (reference
+    protocol: alignment.py:149-171)."""
+    from tests.conftest import SF_CORRECT
+    from ontoea_spark.driver_queries import (
+        q_hits_metrics,
+        q_hits_metrics_candidates,
+    )
+
+    full = q_hits_metrics(spark, SF_CORRECT).collect()[0]
+    cand = q_hits_metrics_candidates(spark, SF_CORRECT).collect()[0]
+    assert cand.hits1 == full.hits1
+    assert cand.hits5 == full.hits5
+    assert cand.hits10 == full.hits10
+    assert cand.mr <= full.mr
+    assert cand.mrr >= full.mrr - 1e-9
 
 
 def test_alignment_quality_noisy(spark):

@@ -62,3 +62,27 @@ def test_blocked_topk_matches_bruteforce(spark, metric):
         order = sorted(range(37), key=lambda j: (-sims[lid, j], j))[:k]
         for rk, rid in enumerate(order, start=1):
             assert got[(lid, rk)] == rid, (metric, lid, rk)
+
+
+def test_csls_candidates_degenerate_equals_full(spark):
+    """csls_candidate_scores with k_cand >= |right| must reproduce the
+    full-matrix CSLS exactly (same pairs, same csls values) — the
+    candidate protocol's only approximation is the restriction of the
+    final ranking to candidate pairs, which vanishes here."""
+    left_df, _ = _vec_df(spark, 15, seed=3)
+    right_df, _ = _vec_df(spark, 12, seed=4)
+    full = SJ.csls_rescale(
+        SJ.all_pairs_scores(left_df, right_df, metric="cosine"), k=5
+    )
+    cand = SJ.csls_candidate_scores(
+        left_df, right_df, k_cand=12, csls_k=5
+    )
+    f = {(r.lid, r.rid): r.csls for r in full.collect()}
+    c = {(r.lid, r.rid): r.csls for r in cand.collect()}
+    assert f == c
+
+
+def test_csls_candidates_rejects_short_topk(spark):
+    left_df, _ = _vec_df(spark, 5, seed=3)
+    with pytest.raises(ValueError):
+        SJ.csls_candidate_scores(left_df, left_df, k_cand=3, csls_k=5)
