@@ -510,6 +510,53 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash_signatures(_documents(spark, sf_dir), bits=16)
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + apex domain (functions/urls.py) over a
+    deterministic messy-url fixture synthesized from the documents table
+    (uppercase schemes/hosts, www, default and odd ports, trailing
+    slashes, tracking params, fragments, multi-label public suffixes).
+    Pure Catalyst expressions — the crawl-dedup key for the north-rule
+    pages table."""
+    from ontoea_spark.functions import urls as U
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.concat(F.col("source"), F.lit(".co.uk")))
+        .when(i % 4 == 1, F.concat(F.col("source"), F.lit(".com")))
+        .when(i % 4 == 2, F.concat(F.upper("source"), F.lit(".org")))
+        .otherwise(F.concat(F.col("source"), F.lit(".io"))),
+        F.when(i % 5 == 0, F.lit(":443"))
+        .when(i % 5 == 1, F.lit(":80"))
+        .when(i % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.concat(F.lit("/Page/"), i.cast("string")),
+        F.when(i % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            i % 6 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), i.cast("string")),
+        )
+        .when(i % 6 == 1, F.concat(F.lit("?id="), i.cast("string"), F.lit("&gclid=x")))
+        .when(i % 6 == 2, F.lit("?utm_campaign=a&utm_medium=b"))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", url.alias("url"))
+    host = U.url_host(F.col("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        U.canonical_url(F.col("url")).alias("canon_url"),
+        host.alias("host"),
+        U.apex_domain(host).alias("apex"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Quality-scoring features per document."""
     docs = _documents(spark, sf_dir)
@@ -1357,7 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- anchors: dedup / ANN / eval -----------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
+        "url_canonical": q_url_canonical,
         "dedup_clusters": q_dedup_clusters,
         "kg_components": q_kg_components,
         "ann_topk": q_ann_topk,
@@ -1389,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
         "onto_compat_v2": q_onto_compat_v2,
         "onto_compat_v3": q_onto_compat_v3,
         "onto_compat_v4": q_onto_compat_v4,
@@ -1810,6 +1858,62 @@ SELECT round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
        round(avg(rank * 1.0), 6) AS mr,
        round(avg(1.0 / rank), 6) AS mrr
 FROM rk
+"""
+
+    # url canonicalization: the messy-url fixture and every normalization
+    # step mirrored literally (keep in sync with functions/urls.py)
+    sql["url_canonical"] = """
+WITH raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN source || '.co.uk'
+                  WHEN doc_id % 4 = 1 THEN source || '.com'
+                  WHEN doc_id % 4 = 2 THEN upper(source) || '.org'
+                  ELSE source || '.io' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                  WHEN doc_id % 5 = 1 THEN ':80'
+                  WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END)
+         || '/Page/' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 6 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&gclid=x'
+                  WHEN doc_id % 6 = 2 THEN '?utm_campaign=a&utm_medium=b'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/:?#]+)', 1)), '^www\\.', '') AS host,
+         regexp_extract(url, '^[^:/?#]+://[^/:?#]+:([0-9]+)', 1) AS port,
+         regexp_replace(regexp_extract(url, '^[^:/?#]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+         coalesce(array_to_string(
+           list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')),
+           '&'), '') AS q
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, url, host,
+         scheme || '://' || host
+         || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END)
+         || path
+         || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url,
+         string_split(host, '.') AS labels
+  FROM parts
+)
+SELECT doc_id, url, canon_url, host,
+       CASE WHEN len(labels) <= 2 THEN host
+            WHEN array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.')
+                 IN ('co.uk','org.uk','ac.uk','gov.uk','co.jp','co.in','com.au','com.br','com.cn')
+            THEN array_to_string(list_slice(labels, greatest(len(labels)-2, 1), len(labels)), '.')
+            ELSE array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS apex
+FROM canon
 """
 
     # candidate-protocol CSLS: candidate set = union of row-wise and

@@ -1,0 +1,55 @@
+"""URL canonicalization edge cases (functions/urls.py; the oracle-green
+url_canonical query covers the bulk fixture — these pin the corners)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import REPO  # noqa: F401
+
+from ontoea_spark.functions import urls as U
+
+
+def _canon(spark, raw: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    host = U.url_host(F.col("url"))
+    out = df.select(
+        U.canonical_url(F.col("url")).alias("c"),
+        U.apex_domain(host).alias("a"),
+    ).collect()
+    return [(r.c, r.a) for r in out]
+
+
+def test_canonical_url_corners(spark):
+    cases = {
+        # scheme+host case, default port, trailing slash, fragment
+        "HTTPS://WWW.Example.COM:443/A/b/#top": (
+            "https://example.com/A/b",
+            "example.com",
+        ),
+        # http default port dropped; https-port-on-http kept
+        "http://example.com:80/x": ("http://example.com/x", "example.com"),
+        "http://example.com:443/x": (
+            "http://example.com:443/x",
+            "example.com",
+        ),
+        # tracker-only query vanishes with its '?'
+        "https://a.co.uk/p?utm_source=x&utm_medium=y": (
+            "https://a.co.uk/p",
+            "a.co.uk",
+        ),
+        # kept params preserve order; trackers removed in the middle
+        "https://a.io/p?b=2&utm_x=1&a=1": (
+            "https://a.io/p?b=2&a=1",
+            "a.io",
+        ),
+        # root path normalizes away; bare host stays apex
+        "https://sub.dom.example.co.jp/": (
+            "https://sub.dom.example.co.jp",
+            "example.co.jp",
+        ),
+        "https://example.org": ("https://example.org", "example.org"),
+    }
+    got = _canon(spark, list(cases))
+    for (raw, want), g in zip(cases.items(), got):
+        assert g == want, (raw, g, want)
