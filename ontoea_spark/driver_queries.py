@@ -557,6 +557,12 @@ def q_url_canonical(spark, sf_dir):
     )
 
 
+def q_para_dedup(spark, sf_dir):
+    """Sub-document duplication signals: per doc, the share of its
+    16-token chunks that also appear in other docs (dedup.chunk_dup_signals)."""
+    return D.chunk_dup_signals(_documents(spark, sf_dir), chunk_tokens=16)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality-scoring features per document."""
     docs = _documents(spark, sf_dir)
@@ -1421,7 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_complete_vote": q_class_complete_vote,
         # --- anchors: curation / text --------------------------------------
         "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
+        "para_dedup": q_para_dedup,
         "contamination": q_contamination,
         "source_cap": q_source_cap,
         # ===== position 50: driver window ends here ========================
@@ -1433,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1858,6 +1865,28 @@ SELECT round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
        round(avg(rank * 1.0), 6) AS mr,
        round(avg(1.0 / rank), 6) AS mrr
 FROM rk
+"""
+
+    # sub-document chunk dedup: same 16-token chunking via a DuckDB list
+    # comprehension; docs-per-chunk via DISTINCT pre-aggregation
+    sql["para_dedup"] = f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(t, i * 16 + 1, least((i + 1) * 16, len(t))), ' ')
+                 for i in range(0, CAST(ceil(len(t) / 16.0) AS INT))]) AS chunk
+  FROM toks
+),
+hs AS (SELECT doc_id, {H('chunk')} AS hh FROM ch),
+crossdoc AS (
+  SELECT hh, count(*) AS docs FROM (SELECT DISTINCT hh, doc_id FROM hs) GROUP BY hh
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       round(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
+FROM hs JOIN crossdoc USING (hh)
+GROUP BY doc_id
 """
 
     # url canonicalization: the messy-url fixture and every normalization

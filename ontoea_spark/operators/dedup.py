@@ -53,6 +53,64 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def chunk_dup_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Sub-document (paragraph-level) duplication signals: split each
+    document into consecutive ``chunk_tokens``-token chunks (the
+    pseudo-paragraph unit when the corpus has no layout breaks), hash
+    each chunk, and per document report how many of its chunks also
+    appear in OTHER documents — the RefinedWeb-style signal for dropping
+    boilerplate-heavy pages that document-level dedup can't see.
+
+    Returns DataFrame[doc_id, n_chunks, n_dup_chunks, dup_ratio].
+
+    Scale shape: one groupBy on the 60-bit chunk hash (map-side partial
+    count-distinct via the (hash, doc) pre-distinct), then one hash-hash
+    equi-join back — ~|tokens| / chunk_tokens rows total, never |docs|².
+    A viral boilerplate chunk is a hot hash key, but its group reduces
+    to one count and the join fans it back out row-per-occurrence — no
+    collect_list of doc ids anywhere.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idxs = F.sequence(
+        F.lit(0), F.floor((n - F.lit(1)) / F.lit(chunk_tokens)).cast("int")
+    )
+    chunks = F.transform(
+        idxs,
+        lambda i: F.array_join(
+            F.slice(toks, (i * chunk_tokens + 1).cast("int"), chunk_tokens),
+            " ",
+        ),
+    )
+    ch = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(chunks).alias("chunk"),
+    ).withColumn("hh", portable_hash64(F.col("chunk")))
+    cross = (
+        ch.select("hh", "doc_id")
+        .distinct()
+        .groupBy("hh")
+        .agg(F.count("*").cast("long").alias("docs"))
+    )
+    return (
+        ch.join(cross, "hh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("docs") >= 2).cast("long")).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )
+
+
 def doc_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
