@@ -563,6 +563,24 @@ def q_para_dedup(spark, sf_dir):
     return D.chunk_dup_signals(_documents(spark, sf_dir), chunk_tokens=16)
 
 
+def q_quality_score(spark, sf_dir):
+    """Model-based quality filter: fixed-weight linear scorer + keep flag
+    (curation.quality_score — transcendental-free for cross-engine
+    bit-exactness)."""
+    from ontoea_spark.pipeline.curation import quality_score
+
+    return quality_score(_documents(spark, sf_dir))
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation chain in one plan: quality filter -> exact
+    dedup -> salted source cap -> hash split -> (split, source) counts
+    (curation.curation_pipeline)."""
+    from ontoea_spark.pipeline.curation import curation_pipeline
+
+    return curation_pipeline(_documents(spark, sf_dir))
+
+
 def q_text_quality(spark, sf_dir):
     """Quality-scoring features per document."""
     docs = _documents(spark, sf_dir)
@@ -1405,7 +1423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_unlinked": q_remove_unlinked,
         "links_fixpoint": q_links_fixpoint,
         "adjacency_out": q_adjacency_out,
-        "kg_stats": q_kg_stats,
         "triple_pr": q_triple_pr,
         # --- anchors: dedup / ANN / eval -----------------------------------
         "dedup_exact": q_dedup_exact,
@@ -1421,12 +1438,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- anchors: ontology ---------------------------------------------
         "onto_class_paths": q_onto_class_paths,
         "onto_compat_v1": q_onto_compat_v1,
-        "onto_compat_v5": q_onto_compat_v5,
         "onto_compat_seeded": q_onto_compat_seeded,
         "rel_class_entropy": q_rel_class_entropy,
         "class_complete_vote": q_class_complete_vote,
         # --- anchors: curation / text --------------------------------------
         "text_quality": q_text_quality,
+        "quality_score": q_quality_score,
+        "curation_pipeline": q_curation_pipeline,
         "para_dedup": q_para_dedup,
         "contamination": q_contamination,
         "source_cap": q_source_cap,
@@ -1439,12 +1457,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "kg_stats": q_kg_stats,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "onto_compat_v2": q_onto_compat_v2,
+        "onto_compat_v5": q_onto_compat_v5,
         "onto_compat_v3": q_onto_compat_v3,
         "onto_compat_v4": q_onto_compat_v4,
         "onto_compat_v6": q_onto_compat_v6,
@@ -1794,6 +1814,34 @@ SELECT doc_id, n_chars,
 FROM t
 """
 
+    # fixed-weight linear quality scorer — rational arithmetic over the
+    # 6dp-rounded features only (keep weights in sync with
+    # pipeline/curation.quality_score)
+    sql["quality_score"] = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_split_to_array(trim(text), ' +') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio,
+         round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 6) AS stopword_ratio
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         round(0.45 * distinct_ratio
+               + 0.35 * round(least(n_tokens, 256) * 1.0 / 256.0, 6)
+               + 0.20 * round(least(stopword_ratio * 8.0, 1.0), 6), 6) AS quality_score
+  FROM f
+)
+SELECT doc_id, quality_score,
+       CAST(CASE WHEN quality_score >= 0.35 AND n_tokens >= 16 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""
+
     sql["doc_fingerprint"] = f"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
 sh AS (
@@ -1865,6 +1913,50 @@ SELECT round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
        round(avg(rank * 1.0), 6) AS mr,
        round(avg(1.0 / rank), 6) AS mrr
 FROM rk
+"""
+
+    # the full curation chain, oracled end-to-end: quality keep ->
+    # canonical keep -> per-source cap (single-window form — provably
+    # equal to the salted two-phase cap) -> hash split -> counts
+    sql["curation_pipeline"] = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(trim(text), ' +') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS dr,
+         round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 6) AS sr
+  FROM t
+),
+kept AS (
+  SELECT doc_id, source, text FROM f
+  WHERE round(0.45 * dr + 0.35 * round(least(n_tokens, 256) * 1.0 / 256.0, 6)
+              + 0.20 * round(least(sr * 8.0, 1.0), 6), 6) >= 0.35
+    AND n_tokens >= 16
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY {H('text')}),
+uniq AS (SELECT k.doc_id, k.source FROM kept k JOIN canon USING (doc_id)),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {H("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS rn
+  FROM uniq
+),
+capped AS (SELECT doc_id, source FROM ranked WHERE rn <= 30),
+sp AS (
+  SELECT doc_id, source,
+         CASE WHEN {H("CAST(doc_id AS VARCHAR)")} % 100 < 85 THEN 'train'
+              WHEN {H("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM capped
+)
+SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs
+FROM sp GROUP BY split, source
 """
 
     # sub-document chunk dedup: same 16-token chunking via a DuckDB list

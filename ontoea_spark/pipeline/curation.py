@@ -197,6 +197,89 @@ def stratified_cap(
     )
 
 
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight linear scorer over
+    the quality features (the shape of a fastText/logistic quality
+    classifier with the learned weights frozen as documented constants —
+    swap the weight literals for trained ones, same plan).
+
+    score = 0.45·distinct_ratio + 0.35·min(n_tokens,256)/256
+          + 0.20·min(8·stopword_ratio, 1);  keep = score ≥ threshold
+    and n_tokens ≥ min_tokens (default threshold keeps ~70% of the
+    synthetic fixture — a filter, not a guillotine).
+
+    Deliberately transcendental-free (no exp/log): every term is IEEE
+    rational arithmetic over 6dp-rounded features, so the DuckDB oracle
+    reproduces scores bit-exactly — a sigmoid would be at the mercy of
+    libm ulp differences across engines. Linear per row, no shuffle.
+    """
+    from ontoea_spark.functions.text import quality_features
+
+    f = quality_features(F.col(text_col))
+    len_feat = F.round(
+        F.least(f["n_tokens"], F.lit(256)).cast("double") / 256.0, 6
+    )
+    stop_feat = F.round(
+        F.least(f["stopword_ratio"] * 8.0, F.lit(1.0)), 6
+    )
+    score = F.round(
+        0.45 * f["distinct_ratio"] + 0.35 * len_feat + 0.20 * stop_feat, 6
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        score.alias("quality_score"),
+        (
+            (score >= F.lit(threshold))
+            & (f["n_tokens"] >= F.lit(min_tokens))
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+def curation_pipeline(
+    docs: DataFrame, per_source: int = 30
+) -> DataFrame:
+    """The full curation chain as ONE lazy Spark plan — the shape a
+    training-data run actually executes, not isolated operators:
+
+      model-based quality filter (quality_score keep=1)
+      -> exact-dedup canonical keep (min-id per content hash)
+      -> salted per-source cap (stratified_cap)
+      -> deterministic hash train/valid/test split
+      -> per-(split, source) counts
+
+    Returns DataFrame[split, source, n_docs]. Everything between the
+    scan and the final small aggregate is hash-shuffled at most three
+    times (content hash, source cap, final groupBy); no window over an
+    unsalted hot domain, no collect. The driver query ``curation_pipeline``
+    oracles the whole chain end-to-end against DuckDB.
+    """
+    from ontoea_spark.operators.dedup import exact_duplicates
+
+    kept = docs.join(
+        quality_score(docs).filter("keep = 1").select("doc_id"),
+        "doc_id",
+    )
+    canon = exact_duplicates(kept).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    uniq = kept.join(canon, "doc_id")
+    capped = stratified_cap(uniq, per_source)
+    sp = hash_split(capped).select("doc_id", "split")
+    return (
+        capped.join(sp, "doc_id")
+        .groupBy("split", "source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def source_stats(
     docs: DataFrame, source_col: str = "source"
 ) -> DataFrame:

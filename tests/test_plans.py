@@ -64,3 +64,16 @@ def test_source_cap_first_window_is_salt_partitioned(spark):
     # salted window comes before (deeper in the plan string than) the
     # final source-only window: two Window operators total
     assert plan.count("Window") >= 2, plan
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """The end-to-end curation chain must stay hash-joined (no row-level
+    cartesian/nested-loop) and keep the salted cap window — the composite
+    plan must not degrade the properties each stage guarantees alone."""
+    from ontoea_spark import driver_queries as DQ
+
+    df = DQ.queries()["curation_pipeline"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "salt" in plan, plan
