@@ -125,6 +125,8 @@ def bench_queries(spark, sf_dir: str, runs: int = 3) -> tuple[dict[str, float], 
         "ann_topk",
         "csls_top1",
         "hits_metrics",
+        "para_dedup",
+        "curation_pipeline",
     ]
     out: dict[str, float] = {}
     spread: dict[str, dict] = {}

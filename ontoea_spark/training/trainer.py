@@ -88,6 +88,17 @@ class TrainConfig:
     neg_sampling: str = "truncated"
     truncated_epsilon: float = 0.9
     truncated_freq: int = 10
+    # B7 pool construction. 'local': chunked NumPy self-similarity (the
+    # reference shape — O(n^2) driver work, fine to ~100K entities).
+    # 'spark': distributed blocked top-k self-join (simjoin), collected
+    # as grouped id arrays — the path when n_ent^2 similarity no longer
+    # fits one machine. pool_cap bounds the pool WIDTH in both modes
+    # (the (1-eps)*n reference width is itself O(n^2/10) memory at
+    # scale; a capped pool is standard truncated sampling). Pool
+    # contents are sorted (sim desc, id asc), so both modes produce the
+    # same pool on the same weights (parity-tested).
+    pool_mode: str = "local"
+    pool_cap: int = 4096
     # Where the E2 triple gradients are computed (the only loss whose
     # input scales with the KG — E3-E6 inputs are class/seed-link sized):
     #   'local'      reference semantics — RNG minibatches on the driver
@@ -367,22 +378,69 @@ class OntoEATrainer:
         self._onto_neg_cdf = np.cumsum(p, axis=0)
 
     # -- B7: truncated-neighborhood refresh --------------------------------
-    def refresh_neighbor_pool(self, chunk: int = 1024) -> None:
-        """J9 self-similarity top-(1-eps)*n pools (basic_model.py:416-431;
-        refreshed every truncated_freq epochs). Chunked rows bound the
-        similarity buffer; at cluster scale this is the blocked top-k
-        self-join (simjoin.blocked_topk_join exclude_self)."""
+    def _pool_width(self) -> int:
         n = len(self.ent)
-        num = max(1, int((1.0 - self.cfg.truncated_epsilon) * n))
+        return max(
+            1,
+            min(
+                int((1.0 - self.cfg.truncated_epsilon) * n),
+                self.cfg.pool_cap,
+                n - 1,
+            ),
+        )
+
+    def refresh_neighbor_pool(self, chunk: int = 1024) -> None:
+        """J9 self-similarity top-k pools (basic_model.py:416-431;
+        refreshed every truncated_freq epochs), k = min((1-eps)*n,
+        pool_cap). Chunked rows bound the similarity buffer; rows are
+        sorted (sim desc, id asc) so the pool is identical to the
+        distributed refresh_neighbor_pool_spark on the same weights."""
+        n = len(self.ent)
+        num = self._pool_width()
         pool = np.empty((n, num), dtype=np.int64)
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             sims = self.ent[lo:hi] @ self.ent.T
             sims[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf
-            if num < n:
-                pool[lo:hi] = np.argpartition(-sims, num - 1, axis=1)[:, :num]
+            if num < n - 1:
+                cand = np.argpartition(-sims, num - 1, axis=1)[:, :num]
             else:
-                pool[lo:hi] = np.argsort(-sims, axis=1)[:, :num]
+                cand = np.argsort(-sims, axis=1)[:, :num]
+            csims = np.take_along_axis(sims, cand, axis=1)
+            # deterministic (sim desc, id asc) order within each pool row
+            order = np.lexsort((cand, -csims), axis=1)
+            pool[lo:hi] = np.take_along_axis(cand, order, axis=1)
+        self._neighbor_pool = pool
+
+    def refresh_neighbor_pool_spark(self, spark) -> None:
+        """The cluster-scale B7 refresh: the n x n self-similarity never
+        materializes on one machine — a blocked top-k self-join
+        (simjoin.blocked_topk_join, exclude_self) computes each entity's
+        pool row distributed, and only the n x pool_width id matrix (the
+        thing that must be broadcast for sampling anyway) is collected.
+        Same (sim desc, id asc) row order as the local refresh —
+        pool-parity is unit-tested."""
+        import pandas as pd
+
+        from ontoea_spark.operators import simjoin as SJ
+
+        n, dim = self.ent.shape
+        num = self._pool_width()
+        e_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "id": np.arange(n, dtype=np.int64),
+                    "vec": [row.tolist() for row in self.ent],
+                }
+            )
+        )
+        topk = SJ.blocked_topk_join(
+            e_df, e_df, k=num, metric="inner", exclude_self=True,
+            round_to=None,
+        )
+        pool = np.empty((n, num), dtype=np.int64)
+        for row in topk.select("lid", "rid", "rk").collect():
+            pool[row.lid, row.rk - 1] = row.rid
         self._neighbor_pool = pool
 
     # -- E5: conflict-matrix likelihood ----------------------------------
@@ -570,9 +628,17 @@ class OntoEATrainer:
             ):
                 # B7 refresh — all modes: hard negatives are the quality
                 # driver at scale (uniform corruption loses ~8 Hits@1
-                # points at 5k entities). In spark mode the pool ships
-                # once per refresh, not per step.
-                self.refresh_neighbor_pool()
+                # points at 5k entities). In spark gradient mode the pool
+                # ships once per refresh, not per step.
+                if c.pool_mode == "spark":
+                    if spark is None:
+                        raise ValueError(
+                            "pool_mode='spark' needs a SparkSession "
+                            "(use gradient_mode='spark')"
+                        )
+                    self.refresh_neighbor_pool_spark(spark)
+                else:
+                    self.refresh_neighbor_pool()
                 if mode == "spark":
                     if pool_bc is not None:
                         pool_bc.destroy()

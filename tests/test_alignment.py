@@ -284,6 +284,28 @@ def test_fit_local_hash_quality(spark, bench_data):
     assert m.mrr >= 0.93, m.asDict()
 
 
+def test_neighbor_pool_spark_matches_local(spark):
+    """B7 at cluster scale: the distributed blocked-top-k pool refresh
+    must produce the SAME pool matrix as the chunked-NumPy refresh on
+    the same weights (both rows ordered sim desc, id asc) — so
+    pool_mode='spark' changes where the n^2 similarity work runs, not
+    what gets sampled."""
+    cfg = TrainConfig(dim=8, seed=11, truncated_epsilon=0.8)
+    m = OntoEATrainer(n_ent=80, n_rel=4, n_cls=3, cfg=cfg)
+    m.refresh_neighbor_pool()
+    local = m._neighbor_pool.copy()
+    m.refresh_neighbor_pool_spark(spark)
+    assert np.array_equal(local, m._neighbor_pool)
+    assert local.shape == (80, m._pool_width())
+
+
+def test_neighbor_pool_cap(spark):
+    cfg = TrainConfig(dim=8, seed=11, truncated_epsilon=0.0, pool_cap=5)
+    m = OntoEATrainer(n_ent=40, n_rel=4, n_cls=3, cfg=cfg)
+    m.refresh_neighbor_pool()
+    assert m._neighbor_pool.shape == (40, 5)
+
+
 def test_hits_candidates_parity_with_all_pairs(spark):
     """VERDICT r02 #6: the candidate-table evaluation protocol
     (blocked_topk_join(k_cand) -> ranks_vs_gold_candidates) must agree
