@@ -334,6 +334,44 @@ def q_kg_components(spark, sf_dir):
     )
 
 
+def q_rel_functionality(spark, sf_dir):
+    """Relation functionality metrics (KG-quality signals the alignment
+    literature keys on): per relation, func = #distinct heads / #triples
+    and inv_func = #distinct tails / #triples — a functional relation
+    (func ~ 1) is a reliable alignment feature, a hub relation is a skew
+    risk for the triple joins. One groupBy, map-side combinable."""
+    t = _triples(spark, sf_dir, "kg1")
+    return (
+        t.groupBy("p")
+        .agg(
+            F.count("*").cast("long").alias("n_triples"),
+            F.countDistinct("s").cast("long").alias("n_heads"),
+            F.countDistinct("o").cast("long").alias("n_tails"),
+        )
+        .select(
+            "p",
+            "n_triples",
+            F.round(F.col("n_heads") / F.col("n_triples"), 6).alias("func"),
+            F.round(F.col("n_tails") / F.col("n_triples"), 6).alias(
+                "inv_func"
+            ),
+        )
+    )
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Hub detection: 5-iteration PageRank over kg1's distinct (s, o)
+    edges (operators/graph.pagerank) — the measured input to the
+    salted-join decisions."""
+    from ontoea_spark.operators.graph import pagerank
+
+    t = _triples(spark, sf_dir, "kg1")
+    return pagerank(
+        t.select(F.col("s").alias("src"), F.col("o").alias("dst")),
+        iters=5,
+    ).select(F.col("id").alias("entity"), "pagerank")
+
+
 def q_kg_stats(spark, sf_dir):
     """A4: per-KG entity/relation/triple counts."""
     out = []
@@ -1420,9 +1458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_links": q_gold_links,
         "sup_triples_swap": q_sup_triples_swap,
         "sup_cv_links": q_sup_cv_links,
-        "remove_unlinked": q_remove_unlinked,
         "links_fixpoint": q_links_fixpoint,
-        "adjacency_out": q_adjacency_out,
+        "rel_functionality": q_rel_functionality,
+        "kg_pagerank": q_kg_pagerank,
         "triple_pr": q_triple_pr,
         # --- anchors: dedup / ANN / eval -----------------------------------
         "dedup_exact": q_dedup_exact,
@@ -1457,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "remove_unlinked": q_remove_unlinked,
+        "adjacency_out": q_adjacency_out,
         "kg_stats": q_kg_stats,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
@@ -1513,6 +1553,40 @@ SELECT DISTINCT e AS entity FROM (SELECT s AS e FROM allt UNION ALL SELECT o FRO
     sql["dict_freq_rank"] = f"""
 WITH {_TRIPLES_CTE}, {_RANK_CTE}
 SELECT elem, freq, rank FROM r1
+"""
+
+    # fixed-iteration PageRank: r0..r5 as chained CTEs, same update rule
+    pr_cte = ",\n".join(
+        f"""r{i} AS (
+  SELECT v.id,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(s.s, 0.0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT ed.dst AS id, sum(r.rank / d.deg) AS s
+    FROM ed JOIN r{i - 1} r ON ed.src = r.id
+            JOIN deg d ON ed.src = d.src
+    GROUP BY ed.dst
+  ) s ON v.id = s.id
+)"""
+        for i in range(1, 6)
+    )
+    sql["kg_pagerank"] = f"""
+WITH {_TRIPLES_CTE},
+ed AS (SELECT DISTINCT s AS src, o AS dst FROM t1),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)),
+nn AS (SELECT count(*) AS n FROM verts),
+deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
+{pr_cte}
+SELECT id AS entity, round(rank, 6) AS pagerank FROM r5
+"""
+
+    sql["rel_functionality"] = f"""
+WITH {_TRIPLES_CTE}
+SELECT p, CAST(count(*) AS BIGINT) AS n_triples,
+       round(count(DISTINCT s) * 1.0 / count(*), 6) AS func,
+       round(count(DISTINCT o) * 1.0 / count(*), 6) AS inv_func
+FROM t1 GROUP BY p
 """
 
     sql["dict_interleaved_ids"] = f"""

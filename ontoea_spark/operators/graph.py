@@ -26,6 +26,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table — the hub
+    detector behind the skew story: entities with outsized PageRank are
+    exactly the join keys that need salting (operators/salting.py), and
+    a KG-construction pipeline wants them measured, not guessed.
+
+    Fixed ``iters`` power steps (deterministic, oracle-friendly) of the
+    standard update rank = (1-d)/N + d * Σ_in rank/out_deg; nodes with
+    no out-edges leak their mass (the common simplification — document,
+    don't redistribute). Per iteration: one join rank→edges + one
+    groupBy(dst) shuffle; the rank frame is localCheckpoint-materialized
+    per round so the iterative plan never snowballs. Nothing but the
+    vertex count touches the driver.
+
+    Returns DataFrame[id, pagerank] (6dp-rounded at the END only).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.round("rank", 6).alias("pagerank"))
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
