@@ -1073,6 +1073,17 @@ def q_ann_lsh_top1(spark, sf_dir):
     )
 
 
+def q_image_stats(spark, sf_dir):
+    """REAL image decode on the executors: per doc a PPM (P6) blob is
+    synthesized, parsed back by the pure-NumPy codec, and reduced to
+    dimensions + channel means (pipeline/multimodal.image_stats). The
+    oracle recomputes every pixel from the generator formula in SQL —
+    if the byte-level decode were wrong, the means would not match."""
+    from ontoea_spark.pipeline.multimodal import image_stats
+
+    return image_stats(_documents(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: mapInPandas feature extraction over an opaque
     binary column (deterministic md5 pseudo-embedding standing in for the
@@ -1449,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_degree_join": q_salted_degree_join,
         "extract_fidelity": q_extract_fidelity,
         "multimodal_features": q_multimodal_features,
+        "image_stats": q_image_stats,
         # --- keep-green anchors: KG build chain -----------------------------
         "extract_triples": q_extract_triples,
         "parse_entities": q_parse_entities,
@@ -1457,7 +1469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_encode_triples": q_dict_encode_triples,
         "gold_links": q_gold_links,
         "sup_triples_swap": q_sup_triples_swap,
-        "sup_cv_links": q_sup_cv_links,
         "links_fixpoint": q_links_fixpoint,
         "rel_functionality": q_rel_functionality,
         "kg_pagerank": q_kg_pagerank,
@@ -1495,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "sup_cv_links": q_sup_cv_links,
         "remove_unlinked": q_remove_unlinked,
         "adjacency_out": q_adjacency_out,
         "kg_stats": q_kg_stats,
@@ -1987,6 +1999,25 @@ SELECT round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
        round(avg(rank * 1.0), 6) AS mr,
        round(avg(1.0 / rank), 6) AS mrr
 FROM rk
+"""
+
+    # real-decode image stats: every pixel of the 16x16 test pattern is
+    # regenerated on a SQL grid and averaged — matching the Spark side's
+    # decode-then-average over the actual PPM bytes
+    sql["image_stats"] = """
+WITH g AS (
+  SELECT d.doc_id, x.x, y.y
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d,
+       (SELECT unnest(range(16)) AS x) x,
+       (SELECT unnest(range(16)) AS y) y
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       round(avg((doc_id * 7 + x * 3 + y * 5) % 256), 6) AS mean_r,
+       round(avg((doc_id * 11 + x + y * 2) % 256), 6) AS mean_g,
+       round(avg((doc_id * 13 + x * 2 + y) % 256), 6) AS mean_b
+FROM g GROUP BY doc_id
 """
 
     # the full curation chain, oracled end-to-end: quality keep ->

@@ -3,16 +3,22 @@ reference counterpart — SURVEY.md §2.8 'rebuild adds').
 
 Media are opaque ``binary`` columns + typed metadata. The Spark-side
 plumbing is real — schema, Arrow batching, mapInPandas signature,
-partition behaviour — while the actual codec work is stubbed because the
-sandbox ships no image/audio libraries:
+partition behaviour — and so is the codec for the uncompressed format:
 
-* :func:`decode_image` / :func:`resize_image` / :func:`sample_frames`
-  raise ``NotImplementedError`` with the production signature documented
-  (a real deployment drops PIL/ffmpeg behind the same functions);
-* :func:`blob_features` runs the full distributed path with a
-  *deterministic fake extractor* (md5-derived pseudo-embedding), so
-  batching/schema/partitioning are exercised end-to-end and the output
-  is oracle-checkable cross-engine.
+* :func:`decode_ppm` / :func:`encode_ppm` / :func:`resize_nearest` —
+  a REAL binary PPM (P6) codec in pure NumPy (header parse, raw RGB
+  plane, nearest-neighbor resize). The oracled ``image_stats`` query
+  decodes actual image bytes on the executors and DuckDB independently
+  recomputes the pixel statistics from the generator formula — the
+  decode round-trip is verified cross-engine, not faked.
+* :func:`decode_image` dispatches on magic bytes: P6 decodes for real;
+  compressed formats (JPEG/PNG/video) raise ``NotImplementedError``
+  because the sandbox ships no PIL/ffmpeg — a production deployment
+  drops them behind the same signatures.
+* :func:`blob_features` runs the distributed feature path with a
+  deterministic md5 pseudo-embedding (the stand-in for a vision
+  encoder), so batching/schema/partitioning are exercised end-to-end
+  and the output is oracle-checkable cross-engine.
 """
 
 from __future__ import annotations
@@ -20,27 +26,128 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 
-def decode_image(blob: bytes) -> "object":
-    """STUB: decode an image blob to an array. Production: PIL.Image.open
-    (not available in this container)."""
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm needs (h, w, 3) uint8")
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) blob to an (h, w, 3) uint8 array — a
+    real parser: magic check, whitespace-delimited header (width,
+    height, maxval), then the raw interleaved RGB plane."""
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) blob")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval per spec
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    plane = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return plane.reshape(h, w, 3)
+
+
+def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) array to (h, w, C)."""
+    src_h, src_w = arr.shape[:2]
+    ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Decode an image blob: PPM (P6) decodes for real; compressed
+    formats need PIL/opencv, absent in this container."""
+    if blob.startswith(b"P6"):
+        return decode_ppm(blob)
     raise NotImplementedError(
-        "image decode requires PIL/opencv — not in this environment; "
-        "blob_features provides the deterministic fake path"
+        "compressed image decode requires PIL/opencv — not in this "
+        "environment; PPM (P6) decodes natively (decode_ppm)"
     )
 
 
 def resize_image(blob: bytes, w: int, h: int) -> bytes:
-    """STUB: re-encode resized image."""
-    raise NotImplementedError("image resize requires PIL — see decode_image")
+    """Resize an image blob (PPM natively; compressed formats stubbed)."""
+    return encode_ppm(resize_nearest(decode_image(blob), w, h))
 
 
 def sample_frames(blob: bytes, every_n: int) -> list[bytes]:
     """STUB: sample video frames. Production: pyav/ffmpeg."""
     raise NotImplementedError("frame sampling requires ffmpeg bindings")
+
+
+def synth_ppm(doc_id: int, w: int = 16, h: int = 16) -> bytes:
+    """Deterministic test-pattern image for doc_id: channel values are
+    modular ramps over (x, y) — chosen so a SQL engine can recompute
+    every pixel (and hence any statistic) without a decoder, which is
+    what makes the real decode path oracle-checkable."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (doc_id * 7 + x * 3 + y * 5) % 256
+    g = (doc_id * 11 + x + y * 2) % 256
+    b = (doc_id * 13 + x * 2 + y) % 256
+    return encode_ppm(np.stack([r, g, b], axis=-1).astype(np.uint8))
+
+
+def image_stats(
+    docs: DataFrame, id_col: str = "doc_id", w: int = 16, h: int = 16
+) -> DataFrame:
+    """Distributed REAL-decode image statistics: synthesize each doc's
+    PPM blob, parse it back with decode_ppm (full bytes-in → array-out
+    codec path on the executors), and emit per-image dimensions and
+    channel means. mapInPandas, Arrow-batched, blobs never shuffle.
+
+    Output: (doc_id, width, height, mean_r, mean_g, mean_b)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                arr = decode_ppm(synth_ppm(int(did), w, h))
+                m = arr.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        int(did),
+                        arr.shape[1],
+                        arr.shape[0],
+                        round(float(m[0]), 6),
+                        round(float(m[1]), 6),
+                        round(float(m[2]), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                ],
+            )
+
+    return docs.select(id_col).mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, width long, height long, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
 
 
 def _fake_embedding(blob: bytes, dim: int) -> list[float]:
