@@ -1084,6 +1084,16 @@ def q_image_stats(spark, sf_dir):
     return image_stats(_documents(spark, sf_dir))
 
 
+def q_audio_stats(spark, sf_dir):
+    """REAL audio decode on the executors: per doc a PCM WAV blob is
+    synthesized, RIFF-walked back to samples, and reduced to duration +
+    amplitude aggregates (pipeline/multimodal.audio_stats); the oracle
+    regenerates every sample from the ramp formula in SQL."""
+    from ontoea_spark.pipeline.multimodal import audio_stats
+
+    return audio_stats(_documents(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: mapInPandas feature extraction over an opaque
     binary column (deterministic md5 pseudo-embedding standing in for the
@@ -1461,11 +1471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fidelity": q_extract_fidelity,
         "multimodal_features": q_multimodal_features,
         "image_stats": q_image_stats,
+        "audio_stats": q_audio_stats,
         # --- keep-green anchors: KG build chain -----------------------------
         "extract_triples": q_extract_triples,
         "parse_entities": q_parse_entities,
         "dict_freq_rank": q_dict_freq_rank,
-        "dict_interleaved_ids": q_dict_interleaved_ids,
         "dict_encode_triples": q_dict_encode_triples,
         "gold_links": q_gold_links,
         "sup_triples_swap": q_sup_triples_swap,
@@ -1506,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "dict_interleaved_ids": q_dict_interleaved_ids,
         "sup_cv_links": q_sup_cv_links,
         "remove_unlinked": q_remove_unlinked,
         "adjacency_out": q_adjacency_out,
@@ -1999,6 +2010,22 @@ SELECT round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
        round(avg(rank * 1.0), 6) AS mr,
        round(avg(1.0 / rank), 6) AS mrr
 FROM rk
+"""
+
+    # real-decode audio stats: every int16 sample of the ramp regenerated
+    # on a SQL grid (matches the Spark side's RIFF-walk decode)
+    sql["audio_stats"] = """
+WITH g AS (
+  SELECT d.doc_id, (d.doc_id * 17 + i.i * 31) % 4096 - 2048 AS s
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d,
+       (SELECT unnest(range(256)) AS i) i
+)
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       round(avg(s * 1.0), 6) AS mean_amp,
+       round(avg(s * s * 1.0), 6) AS mean_square
+FROM g GROUP BY doc_id
 """
 
     # real-decode image stats: every pixel of the 16x16 test pattern is

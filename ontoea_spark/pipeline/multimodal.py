@@ -11,10 +11,15 @@ partition behaviour — and so is the codec for the uncompressed format:
   decodes actual image bytes on the executors and DuckDB independently
   recomputes the pixel statistics from the generator formula — the
   decode round-trip is verified cross-engine, not faked.
+* :func:`decode_wav` / :func:`encode_wav` — a real RIFF chunk walker
+  for PCM mono 16-bit WAV; the oracled ``audio_stats`` query follows
+  the same decode-vs-formula pattern.
+* :func:`sample_frames` — real frame-boundary parsing over a raw
+  concatenated-PPM container (the uncompressed analogue of MJPEG).
 * :func:`decode_image` dispatches on magic bytes: P6 decodes for real;
-  compressed formats (JPEG/PNG/video) raise ``NotImplementedError``
-  because the sandbox ships no PIL/ffmpeg — a production deployment
-  drops them behind the same signatures.
+  compressed formats (JPEG/PNG, mp3/aac, mp4) raise
+  ``NotImplementedError`` because the sandbox ships no PIL/ffmpeg — a
+  production deployment drops them behind the same signatures.
 * :func:`blob_features` runs the distributed feature path with a
   deterministic md5 pseudo-embedding (the stand-in for a vision
   encoder), so batching/schema/partitioning are exercised end-to-end
@@ -86,9 +91,133 @@ def resize_image(blob: bytes, w: int, h: int) -> bytes:
     return encode_ppm(resize_nearest(decode_image(blob), w, h))
 
 
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode mono int16 PCM as a canonical 44-byte-header WAV file."""
+    import struct
+
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav needs int16 samples")
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV blob to (int16 samples, sample_rate) — a real
+    RIFF chunk walker: validates RIFF/WAVE magic, reads the fmt chunk
+    (PCM, mono, 16-bit only), then the data chunk. Compressed audio
+    (mp3/aac) would need ffmpeg — not in this container."""
+    import struct
+
+    if blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, rate, bits, channels, fmt = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", blob, pos
+            )
+        elif cid == b"data":
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only PCM mono 16-bit decodes natively; compressed "
+                    "audio requires ffmpeg"
+                )
+            samples = np.frombuffer(
+                blob, dtype=np.int16, count=size // 2, offset=pos
+            )
+            return samples, int(rate)
+        pos += size + (size & 1)
+    raise ValueError("no data chunk found")
+
+
+def synth_wav(doc_id: int, n_samples: int = 256, rate: int = 16000) -> bytes:
+    """Deterministic test-pattern audio: a modular int16 ramp, so a SQL
+    engine can regenerate every sample without a decoder (the same
+    oracle trick as synth_ppm)."""
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((doc_id * 17 + i * 31) % 4096 - 2048).astype(np.int16)
+    return encode_wav(samples, rate)
+
+
+def audio_stats(
+    docs: DataFrame, id_col: str = "doc_id", n_samples: int = 256
+) -> DataFrame:
+    """Distributed REAL-decode audio statistics: synthesize each doc's
+    PCM WAV, walk the RIFF chunks back to samples, and emit duration +
+    amplitude aggregates (mean-square kept rational — no sqrt — so the
+    oracle matches bit-exactly). Output:
+    (doc_id, n_samples, sample_rate, mean_amp, mean_square)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                samples, rate = decode_wav(synth_wav(int(did), n_samples))
+                s = samples.astype(np.float64)
+                rows.append(
+                    (
+                        int(did),
+                        len(samples),
+                        rate,
+                        round(float(np.mean(s)), 6),
+                        round(float(np.mean(s * s)), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "mean_amp",
+                    "mean_square",
+                ],
+            )
+
+    return docs.select(id_col).mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, n_samples long, sample_rate long, "
+            "mean_amp double, mean_square double"
+        ),
+    )
+
+
 def sample_frames(blob: bytes, every_n: int) -> list[bytes]:
-    """STUB: sample video frames. Production: pyav/ffmpeg."""
-    raise NotImplementedError("frame sampling requires ffmpeg bindings")
+    """Sample frames from a raw concatenated-PPM video container (each
+    frame a self-describing P6 block — the uncompressed analogue of an
+    MJPEG stream): REAL parsing, walks frame boundaries via each
+    header's w*h*3 payload length and returns every ``every_n``-th
+    frame's bytes. Compressed containers (mp4/webm) would need
+    pyav/ffmpeg — not in this environment."""
+    frames = []
+    pos = 0
+    while pos < len(blob):
+        if blob[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at byte {pos}")
+        # parse this frame's header to find its payload extent
+        fields: list[int] = []
+        p = pos + 2
+        while len(fields) < 3:
+            while blob[p : p + 1].isspace():
+                p += 1
+            start = p
+            while not blob[p : p + 1].isspace():
+                p += 1
+            fields.append(int(blob[start:p]))
+        p += 1
+        end = p + fields[0] * fields[1] * 3
+        frames.append(blob[pos:end])
+        pos = end
+    return frames[::every_n]
 
 
 def synth_ppm(doc_id: int, w: int = 16, h: int = 16) -> bytes:

@@ -43,3 +43,35 @@ def test_synth_ppm_stats_match_formula():
     assert np.array_equal(arr[..., 0], (42 * 7 + x * 3 + y * 5) % 256)
     assert np.array_equal(arr[..., 1], (42 * 11 + x + y * 2) % 256)
     assert np.array_equal(arr[..., 2], (42 * 13 + x * 2 + y) % 256)
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(5)
+    samples = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    out, rate = MM.decode_wav(MM.encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+
+
+def test_wav_rejects_non_riff_and_compressed():
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"ID3\x03mp3data")
+
+
+def test_synth_wav_matches_formula():
+    samples, rate = MM.decode_wav(MM.synth_wav(7, n_samples=10))
+    i = np.arange(10)
+    assert np.array_equal(samples, ((7 * 17 + i * 31) % 4096 - 2048).astype(np.int16))
+    assert rate == 16000
+
+
+def test_sample_frames_concat_ppm():
+    frames_in = [MM.synth_ppm(i, w=4, h=3) for i in range(7)]
+    video = b"".join(frames_in)
+    out = MM.sample_frames(video, every_n=3)
+    assert out == [frames_in[0], frames_in[3], frames_in[6]]
+    # each sampled frame decodes back to the original array
+    for f, i in zip(out, (0, 3, 6)):
+        assert np.array_equal(MM.decode_ppm(f), MM.decode_ppm(frames_in[i]))
+    with pytest.raises(ValueError):
+        MM.sample_frames(b"notppm" + video, every_n=2)
