@@ -548,6 +548,50 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash_signatures(_documents(spark, sf_dir), bits=16)
 
 
+def q_crawl_latest_snapshot(spark, sf_dir):
+    """CDX-style crawl dedup: a Common-Crawl corpus holds multiple
+    snapshots of the same page under cosmetically different urls; keep
+    ONE row per canonical url — the newest capture — plus the snapshot
+    count. Fixture: every doc has a base capture, every third doc a
+    re-crawl 5000s later under a messier url variant that canonicalizes
+    identically. One groupBy on the canonical url; timestamps stay
+    epoch longs (TZ-proof on both engines)."""
+    from ontoea_spark.functions import urls as U
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    base_ts = F.lit(1609459200) + F.col("doc_id")
+    snap1 = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        base_ts.alias("ts"),
+    )
+    snap2 = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=rss"),
+        ).alias("url"),
+        (base_ts + F.lit(5000)).alias("ts"),
+    )
+    snaps = snap1.unionByName(snap2)
+    return (
+        snaps.select(U.canonical_url(F.col("url")).alias("canon_url"), "ts")
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_snapshots"),
+            F.max("ts").cast("long").alias("latest_ts"),
+        )
+    )
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization + apex domain (functions/urls.py) over a
     deterministic messy-url fixture synthesized from the documents table
@@ -1475,7 +1519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- keep-green anchors: KG build chain -----------------------------
         "extract_triples": q_extract_triples,
         "parse_entities": q_parse_entities,
-        "dict_freq_rank": q_dict_freq_rank,
         "dict_encode_triples": q_dict_encode_triples,
         "gold_links": q_gold_links,
         "sup_triples_swap": q_sup_triples_swap,
@@ -1487,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "url_canonical": q_url_canonical,
+        "crawl_latest_snapshot": q_crawl_latest_snapshot,
         "dedup_clusters": q_dedup_clusters,
         "kg_components": q_kg_components,
         "ann_topk": q_ann_topk,
@@ -1516,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "dict_freq_rank": q_dict_freq_rank,
         "dict_interleaved_ids": q_dict_interleaved_ids,
         "sup_cv_links": q_sup_cv_links,
         "remove_unlinked": q_remove_unlinked,
@@ -2111,6 +2156,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        round(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
 FROM hs JOIN crossdoc USING (hh)
 GROUP BY doc_id
+"""
+
+    # crawl snapshot dedup: the oracle derives the GROUND-TRUTH canonical
+    # url analytically (it knows what the messy variants should collapse
+    # to), so a canonicalizer bug shows as a mismatch — stronger than
+    # re-mirroring the regex logic
+    sql["crawl_latest_snapshot"] = """
+WITH s1 AS (
+  SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS canon_url,
+         1609459200 + doc_id AS ts
+  FROM documents
+),
+s2 AS (
+  SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS canon_url,
+         1609459200 + doc_id + 5000 AS ts
+  FROM documents WHERE doc_id % 3 = 0
+),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+SELECT canon_url,
+       CAST(count(*) AS BIGINT) AS n_snapshots,
+       CAST(max(ts) AS BIGINT) AS latest_ts
+FROM u GROUP BY canon_url
 """
 
     # url canonicalization: the messy-url fixture and every normalization
