@@ -592,6 +592,23 @@ def q_crawl_latest_snapshot(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """O(delta) ingest dedup: docs with doc_id % 4 == 0 arrive as the
+    delta TOGETHER with re-crawled copies of existing docs (same text,
+    new id — the corpus fixture has no natural exact dups, so the
+    copies make the anti-join provably drop rows); survivors are only
+    the genuinely novel delta docs (dedup.incremental_exact_dedup)."""
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    fresh = docs.filter(F.col("doc_id") % 4 == 0)
+    recrawls = existing.filter(F.col("doc_id") % 8 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return D.incremental_exact_dedup(existing, fresh.unionByName(recrawls))
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization + apex domain (functions/urls.py) over a
     deterministic messy-url fixture synthesized from the documents table
@@ -1518,7 +1535,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         # --- keep-green anchors: KG build chain -----------------------------
         "extract_triples": q_extract_triples,
-        "parse_entities": q_parse_entities,
         "dict_encode_triples": q_dict_encode_triples,
         "gold_links": q_gold_links,
         "sup_triples_swap": q_sup_triples_swap,
@@ -1531,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "url_canonical": q_url_canonical,
         "crawl_latest_snapshot": q_crawl_latest_snapshot,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "kg_components": q_kg_components,
         "ann_topk": q_ann_topk,
@@ -1560,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "parse_entities": q_parse_entities,
         "dict_freq_rank": q_dict_freq_rank,
         "dict_interleaved_ids": q_dict_interleaved_ids,
         "sup_cv_links": q_sup_cv_links,
@@ -2156,6 +2174,22 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        round(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
 FROM hs JOIN crossdoc USING (hh)
 GROUP BY doc_id
+"""
+
+    sql["dedup_incremental"] = f"""
+WITH ex AS (SELECT DISTINCT {H('text')} AS content_hash FROM documents WHERE doc_id % 4 <> 0),
+delta AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 4 <> 0 AND doc_id % 8 = 1
+),
+canon AS (
+  SELECT {H('text')} AS content_hash, CAST(min(doc_id) AS BIGINT) AS doc_id
+  FROM delta GROUP BY 1
+)
+SELECT doc_id, content_hash FROM canon
+WHERE content_hash NOT IN (SELECT content_hash FROM ex)
 """
 
     # crawl snapshot dedup: the oracle derives the GROUND-TRUTH canonical

@@ -53,6 +53,42 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def incremental_exact_dedup(
+    existing: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time dedup for a growing corpus: new (delta) documents are
+    deduped within the delta (min-id canonical per content hash), then
+    anti-joined against the EXISTING corpus's content-hash index — cost
+    is O(delta) plus one pass to build/read the index, never a rescan of
+    the existing corpus per delta row (the incremental.py contract; in
+    production the index is a persisted table appended per batch). For
+    near-dup incrementality the same shape composes with the MinHash
+    band tables: persist ``minhash_lsh_pairs``' band-bucket frame and
+    anti-join delta bands against it.
+
+    Returns DataFrame[doc_id, content_hash] — the surviving (novel)
+    delta documents.
+    """
+    ex_hashes = (
+        existing.select(portable_hash64(F.col(text_col)).alias("content_hash"))
+        .distinct()
+    )
+    canon = (
+        delta.select(
+            portable_hash64(F.col(text_col)).alias("content_hash"),
+            F.col(id_col).cast("long").alias("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return canon.join(ex_hashes, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+
+
 def chunk_dup_signals(
     docs: DataFrame,
     id_col: str = "doc_id",
