@@ -53,3 +53,18 @@ def test_canonical_url_corners(spark):
     got = _canon(spark, list(cases))
     for (raw, want), g in zip(cases.items(), got):
         assert g == want, (raw, g, want)
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over the full messy-url
+    fixture — the definitional property of a canonicalizer (a second
+    normalization pass must find nothing left to normalize)."""
+    from tests.conftest import SF_SMOKE
+    from ontoea_spark.driver_queries import q_url_canonical
+
+    out = q_url_canonical(spark, SF_SMOKE).select("canon_url")
+    twice = out.select(
+        "canon_url",
+        U.canonical_url(F.col("canon_url")).alias("canon2"),
+    )
+    assert twice.filter(F.col("canon_url") != F.col("canon2")).count() == 0
