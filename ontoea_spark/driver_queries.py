@@ -642,8 +642,11 @@ def q_url_canonical(spark, sf_dir):
         )
         .when(i % 6 == 1, F.concat(F.lit("?id="), i.cast("string"), F.lit("&gclid=x")))
         .when(i % 6 == 2, F.lit("?utm_campaign=a&utm_medium=b"))
+        .when(i % 6 == 3, F.concat(F.lit("?fbclid&id="), i.cast("string")))
         .otherwise(F.lit("")),
-        F.when(i % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        F.when(i % 14 == 0, F.lit("#/route?x=1"))
+        .when(i % 7 == 0, F.lit("#sec"))
+        .otherwise(F.lit("")),
     )
     d = d.select("doc_id", url.alias("url"))
     host = U.url_host(F.col("url"))
@@ -2234,8 +2237,10 @@ WITH raw AS (
          || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
                   WHEN doc_id % 6 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&gclid=x'
                   WHEN doc_id % 6 = 2 THEN '?utm_campaign=a&utm_medium=b'
+                  WHEN doc_id % 6 = 3 THEN '?fbclid&id=' || CAST(doc_id AS VARCHAR)
                   ELSE '' END)
-         || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+         || (CASE WHEN doc_id % 14 = 0 THEN '#/route?x=1'
+                  WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
   FROM documents
 ),
 parts AS (
@@ -2245,8 +2250,8 @@ parts AS (
          regexp_extract(url, '^[^:/?#]+://[^/:?#]+:([0-9]+)', 1) AS port,
          regexp_replace(regexp_extract(url, '^[^:/?#]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
          coalesce(array_to_string(
-           list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                       x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')),
+           list_filter(string_split(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1), '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)')),
            '&'), '') AS q
   FROM raw
 ),

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 # mirrored literally in the DuckDB oracle — keep in sync with
 # driver_queries.oracle_sql()['url_canonical']
-TRACKER_RE = "^(utm_[^=]*|fbclid|gclid)="
+TRACKER_RE = "^(utm_[^=]*|fbclid|gclid)(=|$)"
 MULTI_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "co.jp", "co.in", "com.au", "com.br", "com.cn",
@@ -62,8 +62,13 @@ def url_path(u: Column) -> Column:
 
 
 def url_query_kept(u: Column) -> Column:
-    """Query string minus tracking params, original order preserved."""
-    q = _part(u, r"\?([^#]*)")
+    """Query string minus tracking params, original order preserved.
+
+    Anchored to the pre-fragment region (``^[^#]*?\\?``) so a '?' that
+    first appears inside the fragment (SPA routes like ``/p#/r?x=1``)
+    is not mistaken for a query string.
+    """
+    q = _part(u, r"^[^#]*?\?([^#]*)")
     kept = F.filter(
         F.split(q, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKER_RE),

@@ -92,12 +92,20 @@ def incremental_update(
     edges: DataFrame,
     delta_triples: DataFrame,
     kg_expr,
+    broadcast_threshold: int = 5_000_000,
 ) -> IncrementalResult:
     """Fold a delta triple batch (s, p, o) into an existing encoded KG.
 
     ``kg_expr``: Column mapping a delta triple to its KG (1|2).
     Existing ids are frozen; delta edges are encoded against the merged
     dictionaries and appended.
+
+    ``broadcast_threshold``: max deduped-delta row count for the
+    broadcast merge path. Small deltas (the normal ingest regime) take
+    the broadcast semi/anti plan — one scan of ``edges``, no exchange.
+    A larger delta (a backfill) would OOM the driver if force-broadcast,
+    so above the threshold the merge degrades gracefully to a plain
+    shuffled anti-join of the delta against the edge table.
     """
     from ontoea_spark.operators.dictionary import encode_triples
 
@@ -117,7 +125,8 @@ def incremental_update(
             rel2.filter(F.col("kg") == kg),
         ).withColumn("kg", F.lit(kg).cast("long"))
         new_edges = enc if new_edges is None else new_edges.unionByName(enc)
-    # Append-only merge: the existing edge table is never shuffled.
+    # Append-only merge: the existing edge table is never shuffled in
+    # the normal regime.
     # 1. dedup WITHIN the (small) delta;
     # 2. broadcast the delta and semi-join the big table against it —
     #    one scan of `edges`, no exchange — to find already-present keys;
@@ -125,9 +134,20 @@ def incremental_update(
     #    only the novel rows.  A unionByName + dropDuplicates here would
     #    re-shuffle the ENTIRE edge table on every delta, making delta
     #    cost O(full table) instead of O(delta + one scan).
+    # The broadcast is SIZE-GATED: the delta is already materialized
+    # (localCheckpoint), so the count is a metadata read; past the
+    # threshold a forced broadcast would OOM, and one shuffled
+    # anti-join is the correct degraded plan for a backfill.
     key = ["s_id", "p_id", "o_id", "kg"]
     delta_edges = new_edges.dropDuplicates(key).localCheckpoint(eager=True)
-    already = edges.join(F.broadcast(delta_edges.select(*key)), on=key, how="leftsemi")
-    novel = delta_edges.join(F.broadcast(already.select(*key)), on=key, how="left_anti")
+    if delta_edges.count() <= broadcast_threshold:
+        already = edges.join(
+            F.broadcast(delta_edges.select(*key)), on=key, how="leftsemi"
+        )
+        novel = delta_edges.join(
+            F.broadcast(already.select(*key)), on=key, how="left_anti"
+        )
+    else:
+        novel = delta_edges.join(edges.select(*key), on=key, how="left_anti")
     merged = edges.unionByName(novel)
     return IncrementalResult(ent_ids=ent2, rel_ids=rel2, edges=merged)

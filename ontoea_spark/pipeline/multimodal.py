@@ -44,22 +44,40 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
-def decode_ppm(blob: bytes) -> np.ndarray:
-    """Decode a binary PPM (P6) blob to an (h, w, 3) uint8 array — a
-    real parser: magic check, whitespace-delimited header (width,
-    height, maxval), then the raw interleaved RGB plane."""
-    if not blob.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) blob")
+def _ppm_header_fields(blob: bytes, pos: int) -> tuple[list[int], int]:
+    """Scan the three whitespace-delimited P6 header ints (width,
+    height, maxval) starting at ``pos`` (just past the magic). Bounded:
+    a truncated header raises ValueError instead of spinning. Skips
+    ``#``-to-newline comment runs, which the P6 spec allows between
+    header fields. Returns (fields, offset of first payload byte)."""
     fields: list[int] = []
-    pos = 2
     while len(fields) < 3:
-        while pos < len(blob) and blob[pos : pos + 1].isspace():
+        while pos < len(blob) and (
+            blob[pos : pos + 1].isspace() or blob[pos : pos + 1] == b"#"
+        ):
+            if blob[pos : pos + 1] == b"#":
+                nl = blob.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("truncated PPM header comment")
+                pos = nl
             pos += 1
         start = pos
         while pos < len(blob) and not blob[pos : pos + 1].isspace():
             pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
         fields.append(int(blob[start:pos]))
-    pos += 1  # single whitespace after maxval per spec
+    return fields, pos + 1  # single whitespace after maxval per spec
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) blob to an (h, w, 3) uint8 array — a
+    real parser: magic check, whitespace-delimited header (width,
+    height, maxval; ``#`` comments allowed), then the raw interleaved
+    RGB plane."""
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) blob")
+    fields, pos = _ppm_header_fields(blob, 2)
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
@@ -203,18 +221,11 @@ def sample_frames(blob: bytes, every_n: int) -> list[bytes]:
     while pos < len(blob):
         if blob[pos : pos + 2] != b"P6":
             raise ValueError(f"bad frame magic at byte {pos}")
-        # parse this frame's header to find its payload extent
-        fields: list[int] = []
-        p = pos + 2
-        while len(fields) < 3:
-            while blob[p : p + 1].isspace():
-                p += 1
-            start = p
-            while not blob[p : p + 1].isspace():
-                p += 1
-            fields.append(int(blob[start:p]))
-        p += 1
+        # parse this frame's header (bounded; raises on truncation)
+        fields, p = _ppm_header_fields(blob, pos + 2)
         end = p + fields[0] * fields[1] * 3
+        if end > len(blob):
+            raise ValueError(f"truncated frame payload at byte {pos}")
         frames.append(blob[pos:end])
         pos = end
     return frames[::every_n]

@@ -582,9 +582,11 @@ class OntoEATrainer:
         seed-link-sized (thousands of rows at 10^12-document scale), not
         KG-sized. 'local_hash' is the no-cluster mirror of 'spark'.
         In both hash modes step_counts['triples'] counts full-batch
-        epochs, not minibatches, and B3/B7 RNG corruption is replaced by
-        the deterministic hash scheme (so the truncated-neighbor pool is
-        neither built nor refreshed)."""
+        epochs, not minibatches, and B3 RNG corruption is replaced by
+        the deterministic hash scheme; the B7 truncated-neighbor pool
+        IS still built and refreshed every truncated_freq epochs, and
+        the hash-negative kernels draw hard negatives from it via the
+        hash index (pool_bc / _neighbor_pool)."""
         c = self.cfg
         mode = c.gradient_mode
         if mode not in ("local", "local_hash", "spark"):

@@ -65,3 +65,44 @@ def test_incremental_matches_full_rebuild(spark):
         tuple(r) for r in _decode(inc.edges, inc.ent_ids, inc.rel_ids).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_large_delta_takes_non_broadcast_merge(spark):
+    """The delta-merge broadcast is size-gated: above broadcast_threshold
+    the plan must degrade to a plain (non-hinted) anti-join instead of
+    force-broadcasting an unbounded backfill, with identical results."""
+    from ontoea_spark.pipeline.incremental import incremental_update
+
+    ent = spark.createDataFrame(
+        [(1, "e0", 3, 0, 0), (1, "e1", 2, 1, 1)],
+        "kg long, elem string, freq long, rank long, id long",
+    )
+    rel = spark.createDataFrame(
+        [(1, "p0", 3, 0, 0)], "kg long, elem string, freq long, rank long, id long"
+    )
+    edges = spark.createDataFrame(
+        [(0, 0, 1, 1)], "s_id long, p_id long, o_id long, kg long"
+    )
+    delta = spark.createDataFrame(
+        [("e1", "p0", "e2"), ("e0", "p0", "e1"), ("e0", "p0", "e1")],
+        "s string, p string, o string",
+    )
+
+    inc_small = incremental_update(ent, rel, edges, delta, F.lit(1))
+    inc_big = incremental_update(
+        ent, rel, edges, delta, F.lit(1), broadcast_threshold=0
+    )
+    # the delta is localCheckpointed before the merge, so the merged
+    # plan contains ONLY the merge joins — broadcast hints must appear
+    # in the small-delta plan and be absent from the gated one
+    plan_small = inc_small.edges._jdf.queryExecution().optimizedPlan().toString()
+    plan_big = inc_big.edges._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan_small.lower(), plan_small
+    assert "broadcast" not in plan_big.lower(), plan_big
+
+    rows_small = sorted(tuple(r) for r in inc_small.edges.collect())
+    rows_big = sorted(tuple(r) for r in inc_big.edges.collect())
+    assert rows_small == rows_big
+    # only the genuinely novel edge (e1,p0,e2) appends: the delta's
+    # (e0,p0,e1) is already present and its in-delta duplicate dropped
+    assert len(rows_small) == 2

@@ -75,3 +75,20 @@ def test_sample_frames_concat_ppm():
         assert np.array_equal(MM.decode_ppm(f), MM.decode_ppm(frames_in[i]))
     with pytest.raises(ValueError):
         MM.sample_frames(b"notppm" + video, every_n=2)
+
+
+def test_ppm_header_comments_and_truncation_guards():
+    """ADVICE r3: header comments are legal P6; truncated headers and
+    payloads must raise instead of spinning."""
+    arr = MM.decode_ppm(MM.synth_ppm(3, w=4, h=2))
+    commented = b"P6\n# synth fixture\n4 2\n# maxval next\n255\n" + arr.tobytes()
+    assert np.array_equal(MM.decode_ppm(commented), arr)
+    with pytest.raises(ValueError):
+        MM.decode_ppm(b"P6\n4 2")  # header cut mid-fields
+    with pytest.raises(ValueError):
+        MM.decode_ppm(b"P6\n# comment never ends")
+    with pytest.raises(ValueError):
+        MM.sample_frames(b"P6\n4 2", every_n=1)  # truncated frame header
+    with pytest.raises(ValueError):
+        # header complete but payload short of w*h*3 bytes
+        MM.sample_frames(b"P6\n4 2\n255\n" + b"\x00" * 5, every_n=1)

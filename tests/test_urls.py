@@ -49,6 +49,14 @@ def test_canonical_url_corners(spark):
             "example.co.jp",
         ),
         "https://example.org": ("https://example.org", "example.org"),
+        # ADVICE r3: bare valueless tracker params strip too
+        "https://a.io/p?fbclid&a=1": ("https://a.io/p?a=1", "a.io"),
+        "https://a.io/p?gclid": ("https://a.io/p", "a.io"),
+        # ADVICE r3: a '?' first appearing inside the fragment is NOT a
+        # query string (SPA route) — the whole fragment drops
+        "https://a.io/p#/route?x=1": ("https://a.io/p", "a.io"),
+        # ...but a real query before the fragment still survives
+        "https://a.io/p?a=1#/route?x=2": ("https://a.io/p?a=1", "a.io"),
     }
     got = _canon(spark, list(cases))
     for (raw, want), g in zip(cases.items(), got):
