@@ -103,9 +103,18 @@ def bench_queries(spark, sf_dir: str, runs: int = 3) -> tuple[dict[str, float], 
     {min, max} spread. The first run pays plan compilation and fixture
     materialization; the median reflects warmed execution, which is the
     number that projects to a long-running cluster job.
+
+    Exception: queries whose core work IS a memoized fixture derivation
+    (extract_triples) get the fixture memo cleared before EVERY timed
+    sample — otherwise runs 2-3 time a localCheckpoint read, not the
+    operator. The downstream queries intentionally keep the fixture
+    warm: their operator starts where the fixture ends.
     """
     import __spark_entry__ as entrymod
 
+    from ontoea_spark import driver_queries as DQ
+
+    cold_fixture = {"extract_triples": "triples_"}
     qs = entrymod.queries()
     headline = [
         "extract_triples",
@@ -136,6 +145,8 @@ def bench_queries(spark, sf_dir: str, runs: int = 3) -> tuple[dict[str, float], 
             continue
         samples: list[float] = []
         for _ in range(runs):
+            if name in cold_fixture:
+                DQ.reset_memo(cold_fixture[name])
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -79,17 +79,27 @@ def kmeans_fit(
     n_iter: int = 10,
     id_col: str = "id",
     vec_col: str = "vec",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration Lloyd's. Returns DataFrame[cid, cvec] (a centroid
-    with no members keeps its previous position)."""
+    with no members keeps its previous position).
+
+    ``round_to``: optionally round each updated centroid coordinate to
+    this many decimals per iteration. Lloyd's means are
+    order-of-summation sensitive in the last ulp (partial aggregation
+    order is nondeterministic), so rounding pins the centroids to
+    values any engine reproduces exactly — what makes the trained
+    quantizer DuckDB-oracle-checkable (driver query
+    ``ann_ivf_kmeans_top1`` uses round_to=9)."""
     spark: SparkSession = emb.sparkSession
     centroids = kmeans_init(emb, k, id_col, vec_col)
+    m_expr = F.avg("val") if round_to is None else F.round(F.avg("val"), round_to)
     for _ in range(n_iter):
         assigned = assign_cells(emb, centroids, id_col, vec_col)
         means = (
             assigned.select("cid", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(m_expr.alias("m"))
             .groupBy("cid")
             .agg(
                 F.transform(
