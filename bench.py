@@ -250,7 +250,181 @@ def scaling_run() -> dict:
     }
 
 
+def skew_job(spark) -> dict:
+    """Skew proof: hub-heavy fixtures through the salted operators vs
+    their unsalted plans (north rule: "salted repartitioning for skewed
+    hub entities"). Two cases:
+
+    * cap_*: one domain holds 75% of the rows. MEASURED FINDING (r4):
+      on Spark 4 the naive rank-limit window is ALREADY skew-immune —
+      Catalyst's InferWindowGroupLimit plants a Partial WindowGroupLimit
+      before the exchange, so each map task forwards at most ``cap``
+      rows per source and the hot partition never materializes (2.06M of
+      32M rows crossed the shuffle in the audit; reduce max task 0.3s).
+      The naive plan therefore WINS here by ~1.3x (stratified_cap pays a
+      second window pass); the salted operator is kept as the portable /
+      rule-independent form and the ``cap_catalyst_partial_limit`` flag
+      records whether the engine's rewrite fired.
+    * join_*: one entity heads 30% of the triples, fact⨝degree join.
+      Reported with the session's AQE skew-join ON (the honest
+      deployment config) — explicit salting still beats it on max-task
+      time because the salt spreads the hot key BEFORE the shuffle
+      rather than splitting oversized reduce blocks after the fact.
+
+    Each variant runs twice (JVM/codegen warm-up) and reports the
+    second run; outputs are verified row-identical before timing.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ontoea_spark.functions.hashing import portable_hash64
+    from ontoea_spark.operators.salting import salted_join
+    from ontoea_spark.pipeline.curation import stratified_cap
+
+    # big enough that the hot partition is a genuine straggler: at 4M
+    # rows the 2M-row hot window sorts in under a second and salting
+    # overhead (an extra shuffle + window) dominates — measured 0.6-0.9x.
+    # The skew penalty the salted plans exist for appears when one
+    # task's share is tens of millions of rows.
+    n = int(os.environ.get("SPARK_BENCH_SKEW_ROWS", "32000000"))
+    docs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 4 != 3, F.lit("hub.example.com"))
+            .otherwise(
+                F.concat(F.lit("s"), F.pmod(F.col("id"), 512).cast("string"))
+            )
+            .alias("source"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def naive_cap(d, per_source):
+        h = portable_hash64(F.col("doc_id").cast("string"))
+        w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+        return (
+            d.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= per_source)
+            .select("doc_id", "source", "rn")
+        )
+
+    import urllib.request
+
+    base_url = None
+    if spark.sparkContext.uiWebUrl:
+        app_id = spark.sparkContext.applicationId
+        base_url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app_id}"
+
+    def _stage_rows():
+        if base_url is None:
+            return []
+        with urllib.request.urlopen(f"{base_url}/stages?status=complete") as r:
+            return json.load(r)
+
+    def _max_task_s(before_ids) -> float | None:
+        """Max single-task duration over the stages a run added — the
+        straggler metric wall-clock hides (while one task sorts the hot
+        partition, the other cores chew the rest; wall only shows skew
+        once the hot task exceeds the whole remainder)."""
+        if base_url is None:
+            return None
+        mx = 0.0
+        for st in _stage_rows():
+            key = (st["stageId"], st["attemptId"])
+            if key in before_ids:
+                continue
+            url = (
+                f"{base_url}/stages/{st['stageId']}/{st['attemptId']}"
+                f"/taskSummary?quantiles=1.0"
+            )
+            try:
+                with urllib.request.urlopen(url) as r:
+                    mx = max(mx, json.load(r)["duration"][-1] / 1000.0)
+            except Exception:
+                pass
+        return round(mx, 3)
+
+    def timed(build):
+        wall = mx = None
+        for _ in range(2):
+            before = {(s["stageId"], s["attemptId"]) for s in _stage_rows()}
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - t0
+            mx = _max_task_s(before)
+        return round(wall, 3), mx
+
+    cap = 1000
+    assert (
+        naive_cap(docs, cap).exceptAll(stratified_cap(docs, cap)).count() == 0
+    )
+    naive_plan = (
+        naive_cap(docs, cap)._jdf.queryExecution().executedPlan().toString()
+    )
+    group_limit = "WindowGroupLimit" in naive_plan
+    cap_naive, cap_naive_mx = timed(lambda: naive_cap(docs, cap))
+    cap_salted, cap_salted_mx = timed(lambda: stratified_cap(docs, cap))
+
+    triples = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 10 < 3, F.lit("hub"))
+            .otherwise(
+                F.concat(F.lit("e"), F.pmod(F.col("id"), 100000).cast("string"))
+            )
+            .alias("s"),
+            F.concat(F.lit("p"), F.pmod(F.col("id"), 50).cast("string")).alias("p"),
+            F.concat(
+                F.lit("o"), F.pmod(F.col("id"), 1000000).cast("string")
+            ).alias("o"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = triples.groupBy("s").agg(F.count("*").alias("out_deg"))
+    plain = lambda: triples.join(deg, "s")  # noqa: E731
+    salted = lambda: salted_join(  # noqa: E731
+        triples, deg, key="s", n_salts=16, salt_src="o"
+    )
+    assert plain().count() == salted().count() == n
+    join_plain, join_plain_mx = timed(plain)
+    join_salted, join_salted_mx = timed(salted)
+    return {
+        "rows": n,
+        "cap_hot_share": 0.75,
+        "cap_catalyst_partial_limit": group_limit,
+        "cap_naive_s": cap_naive,
+        "cap_salted_s": cap_salted,
+        "cap_naive_max_task_s": cap_naive_mx,
+        "cap_salted_max_task_s": cap_salted_mx,
+        "cap_max_task_ratio": (
+            round(cap_naive_mx / cap_salted_mx, 2) if cap_salted_mx else None
+        ),
+        "join_hot_share": 0.3,
+        "join_plain_aqe_s": join_plain,
+        "join_salted_s": join_salted,
+        "join_plain_aqe_max_task_s": join_plain_mx,
+        "join_salted_max_task_s": join_salted_mx,
+        "join_max_task_ratio": (
+            round(join_plain_mx / join_salted_mx, 2) if join_salted_mx else None
+        ),
+    }
+
+
 def main() -> None:
+    if os.environ.get("SPARK_BENCH_SKEW"):
+        from ontoea_spark.session import get_spark
+
+        # UI on: the straggler evidence is per-task max duration, read
+        # back through the UI REST API (wall-clock hides a hot task
+        # while other cores drain the remaining partitions). 16g heap:
+        # the checkpointed fixture + the hot partition's sort both live
+        # in the one local-mode JVM.
+        os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+        spark = get_spark("bench-skew", extra_conf={"spark.ui.enabled": "true"})
+        print(json.dumps({"metric": "skew_proof", **skew_job(spark)}))
+        spark.stop()
+        return
     if os.environ.get("SPARK_BENCH_PIPELINE_ONLY"):
         import __spark_entry__ as entrymod
 

@@ -172,6 +172,16 @@ def stratified_cap(
     Output is identical to the naive single-window cap: a row in the
     global top-``per_source`` of its source has per-salt rank <= its
     global rank <= per_source, so phase 1 never eliminates it.
+
+    Measured plan-audit note (bench.py skew_job, r4): Spark 4's
+    InferWindowGroupLimit plants a Partial WindowGroupLimit before the
+    naive plan's exchange, which is this same two-phase shape derived
+    automatically (map tasks forward <= cap rows per source; the hot
+    partition never materializes) — there the naive cap is ~1.3x
+    FASTER since it skips the second window pass. This explicit form is
+    kept because the rewrite is engine- and pattern-specific (it needs
+    the rank filter adjacent to the window); the salted bound is
+    cap * n_salts independent of map-task count and holds on any engine.
     """
     from pyspark.sql import Window
 

@@ -288,6 +288,31 @@ def evaluate(
     right = _embed_df(spark, ids2, norm2)
     scores = SJ.all_pairs_scores(left, right, metric="inner", round_to=None)
 
+    compat = _compat_table(spark, data, model, type_mode, delay_weight)
+    fused = _fuse_type_scores(scores, data, compat, gamma)
+    if csls_k > 0:
+        fused = SJ.csls_rescale(fused, k=csls_k, round_to=9).select(
+            "lid", "rid", F.col("csls").alias("sim")
+        )
+    gold = test.select(F.col("id1").alias("lid"), F.col("id2").alias("gold_rid"))
+    ranks = EV.ranks_vs_gold(fused, gold)
+    return EV.rank_metrics(ranks, top_k=top_k)
+
+
+def _compat_table(
+    spark: SparkSession,
+    data: AlignmentData,
+    model: OntoEATrainer,
+    type_mode: str,
+    delay_weight: float,
+) -> DataFrame:
+    """(c1, c2, score) class-pair rescoring table — J11 'compat' (v5
+    class-compatibility) or V6 'path' (decay-mask-weighted class-path
+    embedding cosines). Class-count sized: always broadcastable."""
+    from ontoea_spark.ontology import compat as OC
+    from ontoea_spark.ontology import fixture as OF
+    from ontoea_spark.ontology import tree as OT
+
     if type_mode == "path":
         from ontoea_spark.ontology.pathmask import (
             padding_class_path,
@@ -307,21 +332,25 @@ def evaluate(
             for i, ci in enumerate(order)
             for j, cj in enumerate(order)
         ]
-        compat = spark.createDataFrame(
-            rows, "c1 string, c2 string, score double"
-        )
-    else:
-        leaf = data.cls_ids.select("cls").filter(F.col("cls").like("cls%"))
-        sub, disj = OF.synth_ontology(spark, leaf)
-        cpd = OT.disjoint_targets(OT.class_paths(sub, iters=4), disj)
-        compat = OC.compat_pairs(cpd, version=5, k=1.0)
+        return spark.createDataFrame(rows, "c1 string, c2 string, score double")
+    leaf = data.cls_ids.select("cls").filter(F.col("cls").like("cls%"))
+    sub, disj = OF.synth_ontology(spark, leaf)
+    cpd = OT.disjoint_targets(OT.class_paths(sub, iters=4), disj)
+    return OC.compat_pairs(cpd, version=5, k=1.0)
+
+
+def _fuse_type_scores(
+    scores: DataFrame, data: AlignmentData, compat: DataFrame, gamma: float
+) -> DataFrame:
+    """sim + gamma * type_score over (lid, rid, sim) rows; every joined
+    side is class- or entity-count sized and broadcast."""
     lcls = data.cv_ids.withColumnRenamed("ent_id", "lid").join(
         data.cls_ids, "cls_id"
     ).select("lid", F.col("cls").alias("c1"))
     rcls = data.cv_ids.withColumnRenamed("ent_id", "rid").join(
         data.cls_ids, "cls_id"
     ).select("rid", F.col("cls").alias("c2"))
-    fused = (
+    return (
         scores.join(F.broadcast(lcls), "lid", "left")
         .join(F.broadcast(rcls), "rid", "left")
         .join(F.broadcast(compat), ["c1", "c2"], "left")
@@ -331,12 +360,50 @@ def evaluate(
         )
         .select("lid", "rid", F.round("sim", 9).alias("sim"))
     )
-    if csls_k > 0:
-        fused = SJ.csls_rescale(fused, k=csls_k, round_to=9).select(
-            "lid", "rid", F.col("csls").alias("sim")
-        )
+
+
+def evaluate_candidates(
+    spark: SparkSession,
+    data: AlignmentData,
+    model: OntoEATrainer,
+    split: str = "test",
+    gamma: float = 0.2,
+    top_k: tuple[int, ...] = (1, 5, 10),
+    type_mode: str = "compat",
+    delay_weight: float = 1.0,
+    k_cand: int = 50,
+) -> DataFrame:
+    """The 100x-scale V5 protocol: same fused scoring as :func:`evaluate`
+    but over a blocked exact top-``k_cand`` candidate table — nothing in
+    the plan materializes |test|^2 rows (the all-pairs path is the
+    at-15K-reference protocol only).
+
+    Candidates are the exact top-k_cand per lid by embedding inner
+    product (blocked_topk_join); J11 type rescoring applies within the
+    pool and the pool re-ranks by the fused score. |type score| <= 1, so
+    a rid outside the pool can only beat a pooled one if its raw sim
+    deficit is < 2*gamma — with the pool margin at k_cand that makes
+    Hits@k (k <= min(top_k)) exact in practice; gold outside the pool
+    scores rank k_cand + 1 (ranks_vs_gold_candidates bound semantics:
+    hits exact, MR lower / MRR upper bound). Parity with evaluate() is
+    asserted at test scale (tests/test_alignment.py)."""
+    test = data.links_split.filter(F.col("split") == split)
+    ids1 = np.array([r.id1 for r in test.select("id1").collect()], dtype=np.int64)
+    ids2 = np.array([r.id2 for r in test.select("id2").collect()], dtype=np.int64)
+    norm2 = model.ent[ids2] / np.linalg.norm(
+        model.ent[ids2], axis=1, keepdims=True
+    )
+    left = _embed_df(spark, ids1, model.mapped_embeds(ids1))
+    right = _embed_df(spark, ids2, norm2)
+    cands = SJ.blocked_topk_join(
+        left, right, k=k_cand, metric="inner", round_to=None
+    ).select("lid", "rid", "sim")
+    compat = _compat_table(spark, data, model, type_mode, delay_weight)
+    fused = _fuse_type_scores(cands, data, compat, gamma)
+    w = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
+    reranked = fused.withColumn("rk", F.row_number().over(w).cast("long"))
     gold = test.select(F.col("id1").alias("lid"), F.col("id2").alias("gold_rid"))
-    ranks = EV.ranks_vs_gold(fused, gold)
+    ranks = EV.ranks_vs_gold_candidates(reranked, gold, k_cand)
     return EV.rank_metrics(ranks, top_k=top_k)
 
 

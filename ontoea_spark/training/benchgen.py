@@ -38,7 +38,14 @@ def generate_two_kg(
     dropout: float = 0.1,
     noise: int = 40,
     seed: int = 42,
+    vectorized: bool = False,
 ) -> TwoKGBenchmark:
+    """``vectorized``: use the O(n_triples) batched tail sampler instead
+    of the per-row loop (which is O(n_triples * n_ent) — hours at 100K
+    entities). Same distributional construction, but the batched draw
+    consumes the bit generator differently, so the SAME SEED yields a
+    DIFFERENT (equally deterministic) benchmark: small-scale fixtures and
+    their test gates keep the default path."""
     rng = np.random.default_rng(seed)
     letters = "abcdefghijklmnopqrstuvwxyz"
     cls_of = rng.integers(0, 26, size=n_ent)
@@ -49,9 +56,17 @@ def generate_two_kg(
     r = rng.integers(0, n_rel, size=n_triples)
     same_cls = rng.random(n_triples) < 0.5
     t = rng.integers(0, n_ent, size=n_triples)
-    for i in np.nonzero(same_cls)[0]:
-        bucket = np.nonzero(cls_of == cls_of[h[i]])[0]
-        t[i] = bucket[rng.integers(0, len(bucket))]
+    if vectorized:
+        order = np.argsort(cls_of, kind="stable")
+        counts = np.bincount(cls_of, minlength=26)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        idx = np.nonzero(same_cls)[0]
+        ch = cls_of[h[idx]]
+        t[idx] = order[starts[ch] + rng.integers(0, counts[ch])]
+    else:
+        for i in np.nonzero(same_cls)[0]:
+            bucket = np.nonzero(cls_of == cls_of[h[i]])[0]
+            t[i] = bucket[rng.integers(0, len(bucket))]
     base = sorted({(int(a), int(b), int(c)) for a, b, c in zip(h, r, t)})
 
     keep1 = rng.random(len(base)) >= dropout
@@ -85,10 +100,22 @@ def generate_two_kg(
         for kg in (1, 2)
         for i in range(n_ent)
     ]
+    def df(rows: list, schema: str) -> DataFrame:
+        # >100k rows: go through pandas (Arrow-batched when enabled) —
+        # the row-list converter is driver-bound at benchmark scale
+        if len(rows) > 100_000:
+            import pandas as pd
+
+            cols = [f.split()[0] for f in schema.split(", ")]
+            return spark.createDataFrame(
+                pd.DataFrame(rows, columns=cols), schema
+            )
+        return spark.createDataFrame(rows, schema)
+
     return TwoKGBenchmark(
-        triples1=spark.createDataFrame(t1, "s string, p string, o string"),
-        triples2=spark.createDataFrame(t2, "s string, p string, o string"),
-        links=spark.createDataFrame(links, "e1 string, e2 string"),
-        cv=spark.createDataFrame(cv, "entity string, cls string"),
+        triples1=df(t1, "s string, p string, o string"),
+        triples2=df(t2, "s string, p string, o string"),
+        links=df(links, "e1 string, e2 string"),
+        cv=df(cv, "entity string, cls string"),
         n_ent=n_ent,
     )

@@ -438,9 +438,14 @@ class OntoEATrainer:
             e_df, e_df, k=num, metric="inner", exclude_self=True,
             round_to=None,
         )
+        # Arrow-batched transfer + vectorized scatter: at 100K+ entities
+        # the pool table is tens of millions of rows — a Row-object
+        # collect loop would cost minutes and GBs on the driver
+        pdf = topk.select("lid", "rid", "rk").toPandas()
         pool = np.empty((n, num), dtype=np.int64)
-        for row in topk.select("lid", "rid", "rk").collect():
-            pool[row.lid, row.rk - 1] = row.rid
+        pool[pdf["lid"].to_numpy(), pdf["rk"].to_numpy() - 1] = pdf[
+            "rid"
+        ].to_numpy()
         self._neighbor_pool = pool
 
     # -- E5: conflict-matrix likelihood ----------------------------------
@@ -923,15 +928,20 @@ def distributed_gradients(
     )
     ge = np.zeros_like(ent)
     gr = np.zeros_like(rel)
-    loss = 0.0
     try:
-        for row in summed.collect():
-            if row.kind == K_ENT:
-                ge[row.idx] = row.grad
-            elif row.kind == K_REL:
-                gr[row.idx] = row.grad
-            else:
-                loss += row.grad[0]
+        # Arrow transfer + vectorized scatter: the touched-id set is
+        # O(batch * negatives) and approaches n_ent at 100K+ scale — a
+        # Row-object loop would dominate the step wall there. Same
+        # float64 values either way (Arrow is exact).
+        pdf = summed.toPandas()
+        kinds = pdf["kind"].to_numpy()
+        idxs = pdf["idx"].to_numpy()
+        grads = np.array(pdf["grad"].to_list(), dtype=np.float64).reshape(
+            len(pdf), dim
+        )
+        ge[idxs[kinds == K_ENT]] = grads[kinds == K_ENT]
+        gr[idxs[kinds == K_REL]] = grads[kinds == K_REL]
+        loss = float(grads[kinds == K_LOSS][:, 0].sum())
     finally:
         # fit() calls this once per E2 epoch — without cleanup the
         # per-call weight broadcasts accumulate on the executors

@@ -352,3 +352,33 @@ def test_run_benchmark_alignment_smoke(spark):
         spark, n_ent=120, cfg=TrainConfig(dim=16, epochs=30, seed=42)
     ).collect()[0]
     assert 0.0 <= m.hits1 <= 1.0 and m.mr >= 1.0
+
+
+def test_evaluate_candidates_parity_and_vectorized_benchgen(spark, bench_data):
+    """The candidate-protocol evaluate (blocked top-k_cand + within-pool
+    type rescoring) must reproduce the all-pairs evaluate() metrics when
+    k_cand covers the right side — the exactness contract the 100K
+    flagship run relies on. Also: the vectorized benchgen tail sampler
+    must produce a valid same-shape benchmark (different RNG stream,
+    same construction)."""
+    from ontoea_spark.training.align_pipeline import evaluate_candidates
+
+    model = train(bench_data, TrainConfig(dim=32, epochs=100, seed=42))
+    full = evaluate(spark, bench_data, model).collect()[0].asDict()
+    # right side is the test split (~10% of 300): k_cand=300 covers it
+    cand = evaluate_candidates(
+        spark, bench_data, model, k_cand=300
+    ).collect()[0].asDict()
+    assert cand == full, (cand, full)
+    # tight pool: hits@1 must survive (pool margin >> 2*gamma here)
+    tight = evaluate_candidates(
+        spark, bench_data, model, k_cand=10
+    ).collect()[0].asDict()
+    assert tight["hits1"] == full["hits1"], (tight, full)
+
+    b = generate_two_kg(spark, n_ent=200, n_triples=1600, seed=3, vectorized=True)
+    t1 = b.triples1.collect()
+    assert len(t1) > 1000
+    ents = {r.s for r in t1} | {r.o for r in t1}
+    assert all(e.startswith("kg1:e") for e in ents)
+    assert b.links.count() == 200 and b.cv.count() == 400
