@@ -149,11 +149,18 @@ def bench_data(spark):
     return prepare_from_parts(spark, b.triples1, b.triples2, b.links, b.cv)
 
 
-def test_alignment_quality(spark, bench_data):
+@pytest.fixture(scope="module")
+def bench_model(bench_data):
+    """One trained reference model shared by the quality / CSLS /
+    candidate-parity tests (training is deterministic per seed, so
+    sharing changes nothing but the suite wall)."""
+    return train(bench_data, TrainConfig(dim=32, epochs=100, seed=42))
+
+
+def test_alignment_quality(spark, bench_data, bench_model):
     """OntoEA-style quality on the D-W-15K-style synthetic benchmark:
     near-isomorphic KGs with 70% seed links must align almost perfectly."""
-    model = train(bench_data, TrainConfig(dim=32, epochs=100, seed=42))
-    m = evaluate(spark, bench_data, model).collect()[0]
+    m = evaluate(spark, bench_data, bench_model).collect()[0]
     assert m.hits1 >= 0.9, m.asDict()
     assert m.hits10 == 1.0, m.asDict()
     assert m.mrr >= 0.93, m.asDict()
@@ -340,10 +347,9 @@ def test_alignment_quality_noisy(spark):
     assert m.mrr >= 0.85, m.asDict()
 
 
-def test_alignment_csls_variant(spark, bench_data):
+def test_alignment_csls_variant(spark, bench_data, bench_model):
     """V5 third pass: CSLS-rescaled fused scores (T4) keep quality."""
-    model = train(bench_data, TrainConfig(dim=32, epochs=100, seed=42))
-    m = evaluate(spark, bench_data, model, csls_k=10).collect()[0]
+    m = evaluate(spark, bench_data, bench_model, csls_k=10).collect()[0]
     assert m.hits1 >= 0.9, m.asDict()
 
 
@@ -354,7 +360,9 @@ def test_run_benchmark_alignment_smoke(spark):
     assert 0.0 <= m.hits1 <= 1.0 and m.mr >= 1.0
 
 
-def test_evaluate_candidates_parity_and_vectorized_benchgen(spark, bench_data):
+def test_evaluate_candidates_parity_and_vectorized_benchgen(
+    spark, bench_data, bench_model
+):
     """The candidate-protocol evaluate (blocked top-k_cand + within-pool
     type rescoring) must reproduce the all-pairs evaluate() metrics when
     k_cand covers the right side — the exactness contract the 100K
@@ -363,7 +371,7 @@ def test_evaluate_candidates_parity_and_vectorized_benchgen(spark, bench_data):
     same construction)."""
     from ontoea_spark.training.align_pipeline import evaluate_candidates
 
-    model = train(bench_data, TrainConfig(dim=32, epochs=100, seed=42))
+    model = bench_model
     full = evaluate(spark, bench_data, model).collect()[0].asDict()
     # right side is the test split (~10% of 300): k_cand=300 covers it
     cand = evaluate_candidates(
