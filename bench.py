@@ -389,6 +389,14 @@ def skew_job(spark) -> dict:
     assert plain().count() == salted().count() == n
     join_plain, join_plain_mx = timed(plain)
     join_salted, join_salted_mx = timed(salted)
+    # the engine-can't-help case: AQE's skew-join split OFF — the regime
+    # of non-sort-merge strategies / engines without adaptive replan,
+    # which is what the explicit deterministic salt is FOR
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        join_noaqe, join_noaqe_mx = timed(plain)
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     return {
         "rows": n,
         "cap_hot_share": 0.75,
@@ -404,6 +412,8 @@ def skew_job(spark) -> dict:
         "join_plain_aqe_s": join_plain,
         "join_salted_s": join_salted,
         "join_plain_aqe_max_task_s": join_plain_mx,
+        "join_plain_noaqe_s": join_noaqe,
+        "join_plain_noaqe_max_task_s": join_noaqe_mx,
         "join_salted_max_task_s": join_salted_mx,
         "join_max_task_ratio": (
             round(join_plain_mx / join_salted_mx, 2) if join_salted_mx else None
