@@ -38,3 +38,20 @@ def test_queries_have_oracles_or_docstring(spark):
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 25
+
+
+def test_driver_window_contract(spark):
+    """Rotation guard: the driver checks exactly the first 50 queries()
+    entries against oracles — every one of them must HAVE an oracle
+    (a no-oracle query inside the window burns a checked slot), and the
+    no-oracle queries must sit at the very end."""
+    import __spark_entry__ as entrymod
+
+    q = list(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert len(q) >= 50
+    missing = [n for n in q[:50] if n not in o]
+    assert missing == [], f"no-oracle queries inside the window: {missing}"
+    no_oracle = [n for n in q if n not in o]
+    assert q[-len(no_oracle):] == no_oracle, (
+        "no-oracle queries must be last", no_oracle)
