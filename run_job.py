@@ -36,6 +36,22 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="input is a documents fixture; synthesize the pages table",
     )
+    # optional OntoEA-style entity-alignment stage after the build — the
+    # north rule's "entity linking + canonicalization" step as part of
+    # the same spark-submit entry. Defaults take the at-scale paths:
+    # distributed E2 gradients and the candidate-table evaluation (no
+    # n1 x n2 anywhere); see scripts/flagship_100k.py for the measured
+    # 100K-entity run of the same stack.
+    ap.add_argument("--align", action="store_true")
+    ap.add_argument("--align-epochs", type=int, default=40)
+    ap.add_argument("--align-dim", type=int, default=32)
+    ap.add_argument("--align-batch", type=int, default=2048)
+    ap.add_argument(
+        "--align-gradient-mode",
+        default="spark",
+        choices=["local", "local_hash", "spark"],
+    )
+    ap.add_argument("--align-k-cand", type=int, default=50)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -57,17 +73,43 @@ def main(argv: list[str] | None = None) -> None:
     )
     n_edges = out["edges"].count()
     secs = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "edges": n_edges,
-                "vertices": out["vertices"].count(),
-                "links": out["links"].count(),
-                "seconds": round(secs, 3),
-                "triples_per_sec": round(n_edges / secs, 1),
-            }
+    result = {
+        "edges": n_edges,
+        "vertices": out["vertices"].count(),
+        "links": out["links"].count(),
+        "seconds": round(secs, 3),
+        "triples_per_sec": round(n_edges / secs, 1),
+    }
+    if args.align:
+        from ontoea_spark.training.align_pipeline import (
+            evaluate_candidates,
+            prepare_from_pages,
+            train,
         )
-    )
+        from ontoea_spark.training.trainer import TrainConfig
+
+        t1 = time.perf_counter()
+        data = prepare_from_pages(spark, pages)
+        cfg = TrainConfig(
+            dim=args.align_dim,
+            epochs=args.align_epochs,
+            batch_size=args.align_batch,
+            gradient_mode=args.align_gradient_mode,
+            pool_mode="spark" if args.align_gradient_mode == "spark" else "local",
+            seed=42,
+        )
+        model = train(data, cfg)
+        m = evaluate_candidates(
+            spark, data, model, k_cand=args.align_k_cand
+        ).collect()[0]
+        result["align"] = {
+            "n_ent": data.n_ent,
+            "hits1": m.hits1,
+            "hits10": m.hits10,
+            "mrr": m.mrr,
+            "seconds": round(time.perf_counter() - t1, 3),
+        }
+    print(json.dumps(result))
     spark.stop()
 
 

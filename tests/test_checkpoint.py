@@ -101,6 +101,10 @@ def test_spark_submit_pyfiles_job(tmp_path):
             "--synth-from-documents",
             "--checkpoint-dir", cpdir,
             "--partitions", "4",
+            # the optional alignment stage rides the same entry (tiny
+            # budget — this asserts wiring, not quality)
+            "--align", "--align-epochs", "4", "--align-dim", "8",
+            "--align-batch", "4096", "--align-gradient-mode", "local_hash",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -113,3 +117,5 @@ def test_spark_submit_pyfiles_job(tmp_path):
     stats = json.loads(line)
     assert stats["edges"] > 0 and stats["links"] > 0
     assert os.path.exists(os.path.join(cpdir, "_manifest.json"))
+    assert stats["align"]["n_ent"] > 0
+    assert 0.0 <= stats["align"]["hits1"] <= 1.0
