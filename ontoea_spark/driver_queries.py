@@ -2057,12 +2057,14 @@ FROM r WHERE rk <= 5
     sql["csls_top1"] = f"""
 WITH {_EMB_PAIRS_CTE},
 nl AS (
-  SELECT lid, avg(sim) AS near_l FROM (
+  -- order-invariant mean: sorted left fold, bit-identical to the Spark
+  -- side's array_sort + F.aggregate (simjoin.py csls_rescale)
+  SELECT lid, list_reduce(list_sort(list(sim)), (acc, x) -> acc + x) / count(*) AS near_l FROM (
     SELECT lid, sim, row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rk FROM s
   ) WHERE rk <= 10 GROUP BY lid
 ),
 nr AS (
-  SELECT rid, avg(sim) AS near_r FROM (
+  SELECT rid, list_reduce(list_sort(list(sim)), (acc, x) -> acc + x) / count(*) AS near_r FROM (
     SELECT rid, sim, row_number() OVER (PARTITION BY rid ORDER BY sim DESC, lid ASC) AS rk FROM s
   ) WHERE rk <= 10 GROUP BY rid
 ),
@@ -2308,12 +2310,13 @@ rr AS (
 ),
 cand AS (SELECT lid, rid, sim FROM rr WHERE row_rk <= 10 OR col_rk <= 10),
 nl AS (
-  SELECT lid, avg(sim) AS near_l FROM (
+  -- order-invariant mean (sorted left fold) — see csls_top1's nl note
+  SELECT lid, list_reduce(list_sort(list(sim)), (acc, x) -> acc + x) / count(*) AS near_l FROM (
     SELECT lid, sim, row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rk FROM cand
   ) WHERE rk <= 10 GROUP BY lid
 ),
 nr AS (
-  SELECT rid, avg(sim) AS near_r FROM (
+  SELECT rid, list_reduce(list_sort(list(sim)), (acc, x) -> acc + x) / count(*) AS near_r FROM (
     SELECT rid, sim, row_number() OVER (PARTITION BY rid ORDER BY sim DESC, lid ASC) AS rk FROM cand
   ) WHERE rk <= 10 GROUP BY rid
 ),

@@ -26,6 +26,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Row-count ceiling for the dictionary side of an encode join to be
+#: broadcast.  The entity dictionary is corpus-derived vocab — it grows
+#: with the crawl (10^8-10^9 distinct URIs at 100 TB), and ``F.broadcast``
+#: is a hard hint Spark obeys regardless of size, so an un-gated hint
+#: OOMs driver and executors at scale.  5M rows x ~40 B/URI ≈ 200 MB,
+#: comfortably inside a 4 GB driver; same default as
+#: ``pipeline/incremental.py`` uses for its delta-merge gate.
+BROADCAST_ROW_THRESHOLD = 5_000_000
+
+
+def _gated_broadcast(df: DataFrame, small: bool) -> DataFrame:
+    """Apply the broadcast hint only when the caller measured the frame
+    small; otherwise return the frame unhinted and let AQE pick
+    sort-merge / shuffled-hash (or the bucketed-table path via
+    ``sources.tables.write_bucketed`` for repeated encode joins)."""
+    return F.broadcast(df) if small else df
+
 
 def element_frequencies(
     triples: DataFrame, roles: tuple[str, ...] = ("s", "o")
@@ -284,28 +301,50 @@ def two_kg_dictionaries(
 
 
 def encode_triples(
-    triples: DataFrame, ent_ids: DataFrame, rel_ids: DataFrame
+    triples: DataFrame,
+    ent_ids: DataFrame,
+    rel_ids: DataFrame,
+    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
 ) -> DataFrame:
-    """D5: (s,p,o) -> (s_id, p_id, o_id) via three broadcast dictionary
-    joins. Inner-join semantics: rows whose element is missing from the
+    """D5: (s,p,o) -> (s_id, p_id, o_id) via three dictionary joins.
+    Inner-join semantics: rows whose element is missing from the
     dictionary drop silently (reference read.py:141-149 asserts full
     coverage instead; use :func:`encode_coverage` to assert/meter).
+
+    The dictionary sides are broadcast only while they measure at or
+    under ``broadcast_threshold`` rows — the pipeline's dictionaries
+    come out of :func:`two_kg_dictionaries` already localCheckpoint-
+    materialized, so the count here is a cheap scan of materialized
+    rows, and past the threshold the joins degrade to AQE-planned
+    shuffled joins instead of an OOM-guaranteed forced broadcast
+    (same gate as ``pipeline/incremental.py``'s delta merge).
 
     Returns DataFrame[s_id, p_id, o_id] (bigint).
     """
     e = ent_ids.select("elem", "id")
     r = rel_ids.select("elem", "id")
+    e_small = e.count() <= broadcast_threshold
+    r_small = r.count() <= broadcast_threshold
     return (
         triples.join(
-            F.broadcast(e.withColumnRenamed("elem", "s").withColumnRenamed("id", "s_id")),
+            _gated_broadcast(
+                e.withColumnRenamed("elem", "s").withColumnRenamed("id", "s_id"),
+                e_small,
+            ),
             "s",
         )
         .join(
-            F.broadcast(r.withColumnRenamed("elem", "p").withColumnRenamed("id", "p_id")),
+            _gated_broadcast(
+                r.withColumnRenamed("elem", "p").withColumnRenamed("id", "p_id"),
+                r_small,
+            ),
             "p",
         )
         .join(
-            F.broadcast(e.withColumnRenamed("elem", "o").withColumnRenamed("id", "o_id")),
+            _gated_broadcast(
+                e.withColumnRenamed("elem", "o").withColumnRenamed("id", "o_id"),
+                e_small,
+            ),
             "o",
         )
         .select("s_id", "p_id", "o_id")
@@ -313,21 +352,29 @@ def encode_triples(
 
 
 def encode_pairs(
-    pairs: DataFrame, ids1: DataFrame, ids2: DataFrame
+    pairs: DataFrame,
+    ids1: DataFrame,
+    ids2: DataFrame,
+    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
 ) -> DataFrame:
     """D6 (uris_pair_2ids, read.py:129-138): pairs with either side missing
     from its dictionary are silently dropped (inner-join semantics — the
-    reference does the same with an `if in` filter)."""
+    reference does the same with an `if in` filter).
+
+    Dictionary sides broadcast only while they measure at or under
+    ``broadcast_threshold`` rows (see :func:`encode_triples`)."""
     return (
         pairs.join(
-            F.broadcast(
-                ids1.select(F.col("elem").alias("e1"), F.col("id").alias("id1"))
+            _gated_broadcast(
+                ids1.select(F.col("elem").alias("e1"), F.col("id").alias("id1")),
+                ids1.count() <= broadcast_threshold,
             ),
             "e1",
         )
         .join(
-            F.broadcast(
-                ids2.select(F.col("elem").alias("e2"), F.col("id").alias("id2"))
+            _gated_broadcast(
+                ids2.select(F.col("elem").alias("e2"), F.col("id").alias("id2")),
+                ids2.count() <= broadcast_threshold,
             ),
             "e2",
         )
@@ -336,20 +383,28 @@ def encode_pairs(
 
 
 def encode_attribute_triples(
-    attr_triples: DataFrame, ent_ids: DataFrame, attr_ids: DataFrame
+    attr_triples: DataFrame,
+    ent_ids: DataFrame,
+    attr_ids: DataFrame,
+    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
 ) -> DataFrame:
     """D7 (read.py:152-163): heads without an entity id drop silently;
-    the literal passes through unchanged."""
+    the literal passes through unchanged.
+
+    Dictionary sides broadcast only while they measure at or under
+    ``broadcast_threshold`` rows (see :func:`encode_triples`)."""
     return (
         attr_triples.join(
-            F.broadcast(
-                ent_ids.select(F.col("elem").alias("e"), F.col("id").alias("e_id"))
+            _gated_broadcast(
+                ent_ids.select(F.col("elem").alias("e"), F.col("id").alias("e_id")),
+                ent_ids.count() <= broadcast_threshold,
             ),
             "e",
         )
         .join(
-            F.broadcast(
-                attr_ids.select(F.col("elem").alias("a"), F.col("id").alias("a_id"))
+            _gated_broadcast(
+                attr_ids.select(F.col("elem").alias("a"), F.col("id").alias("a_id")),
+                attr_ids.count() <= broadcast_threshold,
             ),
             "a",
         )

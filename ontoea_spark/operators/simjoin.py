@@ -422,20 +422,38 @@ def csls_rescale(scores: DataFrame, k: int = 10, round_to: int = 6) -> DataFrame
     At alignment scale the input should be the candidate table from
     :func:`blocked_topk_join` with k_cand >= csls k on *both* sides (the
     union of row-wise and column-wise top-k joins), never the full matrix.
+
+    Determinism: the neighborhood means are computed by an order-invariant
+    fold — ``array_sort(collect_list(sim))`` then a left fold — not
+    ``F.avg``, whose accumulation order varies with partitioning.  The
+    input sims are already rounded (``round_to`` in the producing join),
+    so the sorted fold is bit-identical across engines and partitionings;
+    ``F.avg`` flaked a 1-ulp difference at a 0.5e-6 rounding boundary
+    once per ~80 oracle runs.  The oracle SQL mirrors this with
+    ``list_reduce(list_sort(list(sim)), ...)`` (driver_queries.py).
     """
+
+    def _fold_mean(sims):
+        # acc starts at 0.0; 0.0 + x == x bitwise, so this equals
+        # DuckDB's init-less list_reduce left fold over the sorted list.
+        total = F.aggregate(sims, F.lit(0.0), lambda acc, x: acc + x)
+        return total / F.size(sims)
+
     wr = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
     wc = Window.partitionBy("rid").orderBy(F.desc("sim"), F.asc("lid"))
     row_top = (
         scores.withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= k)
         .groupBy("lid")
-        .agg(F.avg("sim").alias("near_l"))
+        .agg(F.array_sort(F.collect_list("sim")).alias("sims"))
+        .select("lid", _fold_mean(F.col("sims")).alias("near_l"))
     )
     col_top = (
         scores.withColumn("rk", F.row_number().over(wc))
         .filter(F.col("rk") <= k)
         .groupBy("rid")
-        .agg(F.avg("sim").alias("near_r"))
+        .agg(F.array_sort(F.collect_list("sim")).alias("sims"))
+        .select("rid", _fold_mean(F.col("sims")).alias("near_r"))
     )
     return (
         scores.join(row_top, "lid")

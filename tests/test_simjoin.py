@@ -86,3 +86,25 @@ def test_csls_candidates_rejects_short_topk(spark):
     left_df, _ = _vec_df(spark, 5, seed=3)
     with pytest.raises(ValueError):
         SJ.csls_candidate_scores(left_df, left_df, k_cand=3, csls_k=5)
+
+
+def test_csls_partition_invariant(spark):
+    """The csls column must be BIT-identical regardless of partitioning:
+    the neighborhood means are a sorted left fold, not F.avg (which
+    accumulates in partition order and once flaked a 1-ulp / 0.5e-6
+    rounding-boundary mismatch vs the DuckDB oracle — VERDICT r4 #1)."""
+    left_df, _ = _vec_df(spark, 40, seed=7)
+    right_df, _ = _vec_df(spark, 40, seed=8)
+    scores = SJ.all_pairs_scores(left_df, right_df, metric="cosine")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for np_, reparts in ((3, 1), (31, 16), (64, 7)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(np_))
+            out = SJ.csls_rescale(scores.repartition(reparts), k=10)
+            results.append(
+                {(r.lid, r.rid): repr(r.csls) for r in out.collect()}
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1] == results[2]
