@@ -356,8 +356,13 @@ def skew_job(spark) -> dict:
         return round(wall, 3), mx
 
     cap = 1000
+    # row-identical both ways: naive ⊆ stratified AND stratified ⊆ naive
+    # (one-directional exceptAll would pass if stratified emitted extras)
     assert (
         naive_cap(docs, cap).exceptAll(stratified_cap(docs, cap)).count() == 0
+    )
+    assert (
+        stratified_cap(docs, cap).exceptAll(naive_cap(docs, cap)).count() == 0
     )
     naive_plan = (
         naive_cap(docs, cap)._jdf.queryExecution().executedPlan().toString()
@@ -386,7 +391,10 @@ def skew_job(spark) -> dict:
     salted = lambda: salted_join(  # noqa: E731
         triples, deg, key="s", n_salts=16, salt_src="o"
     )
+    # equal counts + one empty multiset difference => row-identical
+    # (|A| == |B| and A∖B == ∅ implies A == B as multisets)
     assert plain().count() == salted().count() == n
+    assert plain().exceptAll(salted()).count() == 0
     join_plain, join_plain_mx = timed(plain)
     join_salted, join_salted_mx = timed(salted)
     # the engine-can't-help case: AQE's skew-join split OFF — the regime

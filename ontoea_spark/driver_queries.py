@@ -1350,8 +1350,10 @@ def q_ann_ivf_kmeans_top1(spark, sf_dir):
 
 def q_class_complete_full(spark, sf_dir):
     """Full G8: class completion by relation with greedy entropy descent
-    (inference.py:193-282) — iterative driver-coordinated rounds, no SQL
-    oracle; parity gated by tests/test_completion_golden.py."""
+    (inference.py:193-282). The descent is iterative but BOUNDED (fixture
+    tree depth 4), so the DuckDB oracle replays all 4 rounds as chained
+    left joins — hash-checked in the driver window since r4; the NumPy
+    transcription parity stays gated by tests/test_completion_golden.py."""
     from ontoea_spark.ontology.completion import complete_classes
 
     t1 = _triples(spark, sf_dir, "kg1")

@@ -58,19 +58,27 @@ def ranks_vs_gold_candidates(
     protocol (the all-pairs ranks_vs_gold materializes n1 x n2 rows; this
     consumes blocked_topk_join(k=k_cand)'s |left| x k_cand rows).
 
-    cands: DataFrame[lid, rid, sim, rk] where rk is the EXACT global rank
-    per lid in (sim desc, rid asc) order — blocked_topk_join guarantees
-    this because its candidates are the true top k_cand of the full right
-    side. gold: DataFrame[lid, gold_rid] with one row per evaluated lid.
+    cands: DataFrame[lid, rid, sim, rk] where rk is the global rank per
+    lid in (sim desc, rid asc) order over whatever score the caller
+    ranked by. gold: DataFrame[lid, gold_rid] with one row per evaluated
+    lid.
 
     Gold-rank convention (documented, matches reference calculate_rank
     truncation semantics, alignment.py:149-171): if the gold partner is
     among the candidates its candidate rank IS its full-table rank;
     otherwise rank := k_cand + 1 — the tightest provable lower bound.
-    Consequently Hits@k is EXACT for every k <= k_cand, MR is a lower
-    bound and MRR an upper bound, with equality when every gold ranks
-    within k_cand (asserted against the all-pairs path in
-    tests/test_alignment.py).
+    The exactness of Hits@k (k <= k_cand) then depends on how rk was
+    produced: with RAW blocked_topk_join scores the candidates are the
+    true top k_cand of the full right side, so rk is the exact global
+    rank and Hits@k is EXACT, MR a lower bound, MRR an upper bound.
+    When the caller re-ranks the pool by a FUSED score first
+    (evaluate_candidates), exactness additionally requires that no
+    out-of-pool rid could outrank a pooled one under the fused score —
+    guaranteed only when the pool's raw-sim margin at k_cand exceeds the
+    fusion term's range (2*gamma for the bounded type score); otherwise
+    Hits@k is exact in practice but an upper bound in the worst case.
+    Both regimes are asserted against the all-pairs path at test scale
+    (tests/test_alignment.py).
     """
     hit = cands.select(
         F.col("lid"), F.col("rid").alias("gold_rid"), F.col("rk")

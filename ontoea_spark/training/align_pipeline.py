@@ -382,11 +382,13 @@ def evaluate_candidates(
     product (blocked_topk_join); J11 type rescoring applies within the
     pool and the pool re-ranks by the fused score. |type score| <= 1, so
     a rid outside the pool can only beat a pooled one if its raw sim
-    deficit is < 2*gamma — with the pool margin at k_cand that makes
-    Hits@k (k <= min(top_k)) exact in practice; gold outside the pool
-    scores rank k_cand + 1 (ranks_vs_gold_candidates bound semantics:
-    hits exact, MR lower / MRR upper bound). Parity with evaluate() is
-    asserted at test scale (tests/test_alignment.py)."""
+    deficit is < 2*gamma: Hits@k (k <= min(top_k)) is exact WHEN the
+    pool's raw-sim margin at k_cand exceeds 2*gamma, and an upper bound
+    otherwise (in practice the margin holds and parity with evaluate()
+    is asserted at test scale, tests/test_alignment.py — see
+    ranks_vs_gold_candidates for the full bound semantics). Gold outside
+    the pool scores rank k_cand + 1 (hits exact under the margin
+    condition, MR lower / MRR upper bound)."""
     test = data.links_split.filter(F.col("split") == split)
     ids1 = np.array([r.id1 for r in test.select("id1").collect()], dtype=np.int64)
     ids2 = np.array([r.id2 for r in test.select("id2").collect()], dtype=np.int64)

@@ -17,6 +17,11 @@ Everything in the run takes the at-scale path:
 
 Usage:  python scripts/flagship_100k.py  [prints one JSON line]
 Env:    FLAGSHIP_N_ENT / FLAGSHIP_EPOCHS / FLAGSHIP_BATCH / FLAGSHIP_CPUS
+        / FLAGSHIP_DIM / FLAGSHIP_K_CAND
+
+The defaults (epochs 40, batch 32768, dim 32, local[16]) reproduce the
+BASELINE.md 100K row exactly: batch 32768 ≈ 2.3% of the 1.44M edges —
+the ratio whose quality curve was validated on the 5k mimic.
 """
 
 from __future__ import annotations
@@ -31,10 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     n_ent = int(os.environ.get("FLAGSHIP_N_ENT", "100000"))
-    epochs = int(os.environ.get("FLAGSHIP_EPOCHS", "30"))
-    batch = int(os.environ.get("FLAGSHIP_BATCH", "65536"))
+    epochs = int(os.environ.get("FLAGSHIP_EPOCHS", "40"))
+    batch = int(os.environ.get("FLAGSHIP_BATCH", "32768"))
     cpus = os.environ.get("FLAGSHIP_CPUS", "16")
     k_cand = int(os.environ.get("FLAGSHIP_K_CAND", "50"))
+    dim = int(os.environ.get("FLAGSHIP_DIM", "32"))
 
     from ontoea_spark.session import get_spark
     from ontoea_spark.training.align_pipeline import (
@@ -67,7 +73,7 @@ def main() -> None:
     )
 
     cfg = TrainConfig(
-        dim=32,
+        dim=dim,
         epochs=epochs,
         batch_size=batch,
         seed=42,
