@@ -640,6 +640,7 @@ def q_url_canonical(spark, sf_dir):
         F.when(i % 4 == 0, F.concat(F.col("source"), F.lit(".co.uk")))
         .when(i % 4 == 1, F.concat(F.col("source"), F.lit(".com")))
         .when(i % 4 == 2, F.concat(F.upper("source"), F.lit(".org")))
+        .when(i % 8 == 3, F.concat(F.col("source"), F.lit(".com.sg")))
         .otherwise(F.concat(F.col("source"), F.lit(".io"))),
         F.when(i % 5 == 0, F.lit(":443"))
         .when(i % 5 == 1, F.lit(":80"))
@@ -661,12 +662,16 @@ def q_url_canonical(spark, sf_dir):
     )
     d = d.select("doc_id", url.alias("url"))
     host = U.url_host(F.col("url"))
-    return d.select(
+    from ontoea_spark.functions.psl import with_apex_domain
+
+    d = d.select(
         "doc_id",
         "url",
         U.canonical_url(F.col("url")).alias("canon_url"),
         host.alias("host"),
-        U.apex_domain(host).alias("apex"),
+    )
+    return with_apex_domain(d, "host", out="apex").select(
+        "doc_id", "url", "canon_url", "host", "apex"
     )
 
 
@@ -2241,8 +2246,10 @@ FROM u GROUP BY canon_url
 
     # url canonicalization: the messy-url fixture and every normalization
     # step mirrored literally (keep in sync with functions/urls.py)
-    sql["url_canonical"] = """
-WITH raw AS (
+    from ontoea_spark.functions.psl import oracle_ctes as _psl_ctes
+
+    sql["url_canonical"] = "WITH " + _psl_ctes() + """,
+raw AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
          || '://'
@@ -2250,6 +2257,7 @@ WITH raw AS (
          || (CASE WHEN doc_id % 4 = 0 THEN source || '.co.uk'
                   WHEN doc_id % 4 = 1 THEN source || '.com'
                   WHEN doc_id % 4 = 2 THEN upper(source) || '.org'
+                  WHEN doc_id % 8 = 3 THEN source || '.com.sg'
                   ELSE source || '.io' END)
          || (CASE WHEN doc_id % 5 = 0 THEN ':443'
                   WHEN doc_id % 5 = 1 THEN ':80'
@@ -2287,14 +2295,33 @@ canon AS (
          || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url,
          string_split(host, '.') AS labels
   FROM parts
+),
+tails AS (
+  SELECT doc_id, url, canon_url, host, labels, len(labels) AS n,
+         labels[len(labels)] AS t1,
+         CASE WHEN len(labels) >= 2 THEN array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS t2,
+         CASE WHEN len(labels) >= 3 THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.') END AS t3,
+         CASE WHEN len(labels) >= 4 THEN array_to_string(list_slice(labels, len(labels)-3, len(labels)), '.') END AS t4
+  FROM canon
+),
+matched AS (
+  SELECT t.*, greatest(1,
+      CASE WHEN p2.suffix IS NOT NULL THEN 2 ELSE 0 END,
+      CASE WHEN p3.suffix IS NOT NULL THEN 3 ELSE 0 END,
+      CASE WHEN t.t4 IN (SELECT suffix FROM psl_small WHERE kind='exact' AND nlab=4) THEN 4 ELSE 0 END,
+      CASE WHEN t.n >= 2 AND t.t1 IN (SELECT suffix FROM psl_small WHERE kind='wild' AND nlab=1) THEN 2 ELSE 0 END,
+      CASE WHEN t.n >= 3 AND t.t2 IN (SELECT suffix FROM psl_small WHERE kind='wild' AND nlab=2) THEN 3 ELSE 0 END
+    ) AS sl
+  FROM tails t
+  LEFT JOIN psl2 p2 ON t.t2 = p2.suffix
+  LEFT JOIN psl3 p3 ON t.t3 = p3.suffix
 )
 SELECT doc_id, url, canon_url, host,
-       CASE WHEN len(labels) <= 2 THEN host
-            WHEN array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.')
-                 IN ('co.uk','org.uk','ac.uk','gov.uk','co.jp','co.in','com.au','com.br','com.cn')
-            THEN array_to_string(list_slice(labels, greatest(len(labels)-2, 1), len(labels)), '.')
-            ELSE array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS apex
-FROM canon
+       CASE WHEN t2 IN (SELECT suffix FROM psl_small WHERE kind='exc' AND nlab=2) THEN t2
+            WHEN t3 IN (SELECT suffix FROM psl_small WHERE kind='exc' AND nlab=3) THEN t3
+            WHEN n <= sl THEN host
+            ELSE array_to_string(list_slice(labels, n - sl, n), '.') END AS apex
+FROM matched
 """
 
     # candidate-protocol CSLS: candidate set = union of row-wise and

@@ -17,9 +17,11 @@ Canonical form (RFC 3986 normalizations + tracker stripping):
     different urls on servers where order matters)
   * trailing ``/`` of the path dropped (``/a/`` == ``/a``; root == '')
 
-Apex domain: last two host labels, or last three when the last two are
-a multi-label public suffix (small embedded list — a full public-suffix
-mirror is a data file swap, same expression shape).
+Apex domain: full Mozilla Public Suffix List semantics, implemented in
+:mod:`ontoea_spark.functions.psl` (``with_apex_domain`` — a DataFrame
+transformer, because the 5.9k-entry exact-suffix membership is a pair of
+broadcast joins, not a literal set; see that module's doc for the
+measured reasoning).
 """
 
 from __future__ import annotations
@@ -30,10 +32,6 @@ from pyspark.sql import functions as F
 # mirrored literally in the DuckDB oracle — keep in sync with
 # driver_queries.oracle_sql()['url_canonical']
 TRACKER_RE = "^(utm_[^=]*|fbclid|gclid)(=|$)"
-MULTI_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "co.jp", "co.in", "com.au", "com.br", "com.cn",
-)
 
 
 def _part(u: Column, regex: str) -> Column:
@@ -93,15 +91,6 @@ def canonical_url(u: Column) -> Column:
     )
 
 
-def apex_domain(host: Column) -> Column:
-    """Registrable domain of an already-normalized host column."""
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
-    last3 = F.array_join(
-        F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), "."
-    )
-    is_multi = last2.isin(*MULTI_SUFFIXES)
-    return F.when(n <= 2, host).otherwise(
-        F.when(is_multi, last3).otherwise(last2)
-    )
+# Registrable (apex) domain: ontoea_spark.functions.psl.with_apex_domain —
+# full PSL semantics over the vendored list (the former embedded 9-entry
+# MULTI_SUFFIXES expression mis-grouped *.com.sg / *.co.kr hosts).
