@@ -1521,11 +1521,58 @@ def q_alignment_hits(spark, sf_dir):
     )
 
 
+def q_alignment_eval(spark, sf_dir):
+    """The EVAL half of `alignment_hits`, hash-oracled (VERDICT r4
+    'missing' #4): training is iterative and stays rows-only, but once
+    the weights are frozen the fused scoring + rank + Hits/MR/MRR chain
+    is plain SQL. Inputs are deterministic parquet fixtures written by
+    scripts/freeze_alignment_fixture.py (the `alignment_hits` benchmark
+    model: n_ent=150, dim 32, epochs 60, seed 42): mapped+normalized
+    test embeddings, entity->class maps, the v5 compat table, gold
+    links. Mirrors evaluate() (align_pipeline.py) exactly except raw
+    inner products round to 6dp before fusing — the same cross-engine
+    parity convention as every other similarity oracle here. Fixed
+    fixture, independent of sf_dir."""
+    import os
+
+    import ontoea_spark
+
+    fx = os.path.join(
+        os.path.dirname(os.path.abspath(ontoea_spark.__file__)),
+        "data",
+        "alignment_fixture",
+    )
+    left = spark.read.parquet(f"{fx}/left.parquet")
+    right = spark.read.parquet(f"{fx}/right.parquet")
+    lcls = spark.read.parquet(f"{fx}/lcls.parquet")
+    rcls = spark.read.parquet(f"{fx}/rcls.parquet")
+    compat = spark.read.parquet(f"{fx}/compat.parquet")
+    gold = spark.read.parquet(f"{fx}/gold.parquet")
+
+    scores = SJ.all_pairs_scores(left, right, metric="inner", round_to=6)
+    fused = (
+        scores.join(F.broadcast(lcls), "lid", "left")
+        .join(F.broadcast(rcls), "rid", "left")
+        .join(F.broadcast(compat), ["c1", "c2"], "left")
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("sim")
+                + F.lit(0.2) * F.coalesce(F.col("score"), F.lit(0.0)),
+                9,
+            ),
+        )
+        .select("lid", "rid", "sim")
+    )
+    ranks = EV.ranks_vs_gold(fused, gold)
+    return EV.rank_metrics(ranks, top_k=(1, 5, 10))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All driver-checkable queries, ordered for the driver's 50-query window.
 
     The grading driver compares only the FIRST 50 entries against their DuckDB
-    oracles, so ordering is a coverage decision, not cosmetics.  With 80
+    oracles, so ordering is a coverage decision, not cosmetics.  With 81
     oracled queries and 50 slots, we rotate: every round the window holds (a)
     the queries that have never had / have the stalest driver row, plus any
     whose code changed this round, and (b) one fresh-green anchor per
@@ -1538,65 +1585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_entry.py::test_driver_window_contract.
     """
     return {
-        # --- r4 rotation: the 28 queries whose newest green row was r1/r2
-        # (window positions 51-78 last round) come back into the window, as
-        # the r3 rotation policy promised -----------------------------------
-        "q1_pricing": q_q1_pricing,
-        "q3_top_revenue": q_q3_top_revenue,
-        "topk_orders_per_customer": q_topk_orders_per_customer,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "events_json": q_events_json,
-        "parse_entities": q_parse_entities,
-        "dict_freq_rank": q_dict_freq_rank,
-        "dict_interleaved_ids": q_dict_interleaved_ids,
-        "sup_cv_links": q_sup_cv_links,
-        "remove_unlinked": q_remove_unlinked,
-        "adjacency_out": q_adjacency_out,
-        "kg_stats": q_kg_stats,
-        "lang_id": q_lang_id,
-        "token_stats": q_token_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "onto_compat_v2": q_onto_compat_v2,
-        "onto_compat_v5": q_onto_compat_v5,
-        "onto_compat_v3": q_onto_compat_v3,
-        "onto_compat_v4": q_onto_compat_v4,
-        "onto_compat_v6": q_onto_compat_v6,
-        "rel_class_hist": q_rel_class_hist,
-        "pii_scrub": q_pii_scrub,
-        "hash_split": q_hash_split,
-        "source_stats": q_source_stats,
-        "repetition": q_repetition,
-        # --- queries whose CODE changed this round (must re-verify) --------
-        "url_canonical": q_url_canonical,
-        "dedup_incremental": q_dedup_incremental,
-        "multimodal_features": q_multimodal_features,
-        "image_stats": q_image_stats,
-        "audio_stats": q_audio_stats,
-        # --- first-ever oracled driver check (oracles added this round) ----
-        "class_complete_full": q_class_complete_full,
-        "ann_ivf_kmeans_top1": q_ann_ivf_kmeans_top1,
-        # --- keep-green anchors: one per SURVEY-§2 family ------------------
-        "triple_pr": q_triple_pr,
-        "extract_fidelity": q_extract_fidelity,
-        "extract_triples": q_extract_triples,
-        "dict_encode_triples": q_dict_encode_triples,
-        "links_fixpoint": q_links_fixpoint,
-        "sup_attr_swap": q_sup_attr_swap,
-        "crawl_latest_snapshot": q_crawl_latest_snapshot,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_clusters": q_dedup_clusters,
-        "kg_pagerank": q_kg_pagerank,
-        "ann_topk": q_ann_topk,
-        "hits_metrics": q_hits_metrics,
-        "onto_class_paths": q_onto_class_paths,
-        "onto_compat_seeded": q_onto_compat_seeded,
-        "class_complete_vote": q_class_complete_vote,
-        # ===== position 50: driver window ends here ========================
-        # r3-green rotation pool (code unchanged since its green row;
-        # rotates back next round per the policy above):
+        # --- r5 rotation: the 30 r3-green pool queries (window positions
+        # 51-80 last round — now the stalest green rows) come back into
+        # the window, as the rotation policy promises -----------------------
         "gold_links": q_gold_links,
         "attr_triples_parse": q_attr_triples_parse,
         "attr_encode": q_attr_encode,
@@ -1627,10 +1618,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "contamination": q_contamination,
         "source_cap": q_source_cap,
-        # no SQL oracle possible (trained-model outputs; the r3 quartet's
-        # other two — class_complete_full, ann_ivf_kmeans_top1 — gained
-        # unrolled-CTE oracles in r4 and moved into the window). The
-        # driver records a rows-only check for these:
+        # --- queries whose CODE changed this round (must re-verify; the
+        # csls pair and the encode family above also changed — order-
+        # invariant CSLS means, size-gated dictionary broadcasts) -----------
+        "url_canonical": q_url_canonical,
+        "dict_encode_triples": q_dict_encode_triples,
+        # --- first-ever oracled driver check (oracle added this round) -----
+        "alignment_eval": q_alignment_eval,
+        # --- keep-green anchors: one per SURVEY-§2 family (triple_pr is
+        # the north-rule P/R evidence row and never rotates out) ------------
+        "triple_pr": q_triple_pr,
+        "extract_fidelity": q_extract_fidelity,
+        "extract_triples": q_extract_triples,
+        "links_fixpoint": q_links_fixpoint,
+        "sup_cv_links": q_sup_cv_links,
+        "crawl_latest_snapshot": q_crawl_latest_snapshot,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "kg_pagerank": q_kg_pagerank,
+        "ann_topk": q_ann_topk,
+        "hits_metrics": q_hits_metrics,
+        "onto_class_paths": q_onto_class_paths,
+        "onto_compat_seeded": q_onto_compat_seeded,
+        "class_complete_vote": q_class_complete_vote,
+        "class_complete_full": q_class_complete_full,
+        "ann_ivf_kmeans_top1": q_ann_ivf_kmeans_top1,
+        "events_sessionize": q_events_sessionize,
+        # ===== position 50: driver window ends here ========================
+        # r4-green rotation pool (code unchanged since its green row;
+        # rotates back next round per the policy above):
+        "q1_pricing": q_q1_pricing,
+        "q3_top_revenue": q_q3_top_revenue,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "events_hourly": q_events_hourly,
+        "events_json": q_events_json,
+        "parse_entities": q_parse_entities,
+        "dict_freq_rank": q_dict_freq_rank,
+        "dict_interleaved_ids": q_dict_interleaved_ids,
+        "remove_unlinked": q_remove_unlinked,
+        "adjacency_out": q_adjacency_out,
+        "kg_stats": q_kg_stats,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "onto_compat_v2": q_onto_compat_v2,
+        "onto_compat_v5": q_onto_compat_v5,
+        "onto_compat_v3": q_onto_compat_v3,
+        "onto_compat_v4": q_onto_compat_v4,
+        "onto_compat_v6": q_onto_compat_v6,
+        "rel_class_hist": q_rel_class_hist,
+        "pii_scrub": q_pii_scrub,
+        "hash_split": q_hash_split,
+        "source_stats": q_source_stats,
+        "repetition": q_repetition,
+        "dedup_incremental": q_dedup_incremental,
+        "multimodal_features": q_multimodal_features,
+        "image_stats": q_image_stats,
+        "audio_stats": q_audio_stats,
+        "sup_attr_swap": q_sup_attr_swap,
+        # no SQL oracle possible (trained-model outputs): training is
+        # iterative — but its EVAL half is now hash-checked via
+        # alignment_eval (frozen-model fixtures) in the window above.
+        # The driver records a rows-only check for these:
         "alignment_hits": q_alignment_hits,
         "stable_match": q_stable_match,
     }
@@ -2085,6 +2136,51 @@ best AS (
 )
 SELECT CAST(lid AS BIGINT) AS lid, CAST(rid AS BIGINT) AS rid, csls
 FROM best WHERE rk = 1
+"""
+
+    # eval half of the trained alignment pipeline over the frozen-model
+    # fixtures (scripts/freeze_alignment_fixture.py) — dot products and
+    # rank/tie-break semantics mirror q_alignment_eval; list_dot_product
+    # differs from numpy only pre-rounding (~1e-16 vs the .5e-6 grid)
+    import os as _os
+
+    _fx = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "data", "alignment_fixture"
+    )
+    sql["alignment_eval"] = f"""
+WITH l AS (SELECT id AS lid, vec FROM read_parquet('{_fx}/left.parquet')),
+r AS (SELECT id AS rid, vec FROM read_parquet('{_fx}/right.parquet')),
+s AS (
+  SELECT l.lid, r.rid, round(list_dot_product(l.vec, r.vec), 6) AS sim
+  FROM l CROSS JOIN r
+),
+f AS (
+  SELECT s.lid, s.rid,
+         round(s.sim + 0.2 * coalesce(cp.score, 0.0), 9) AS sim
+  FROM s
+  LEFT JOIN read_parquet('{_fx}/lcls.parquet') lc ON s.lid = lc.lid
+  LEFT JOIN read_parquet('{_fx}/rcls.parquet') rc ON s.rid = rc.rid
+  LEFT JOIN read_parquet('{_fx}/compat.parquet') cp
+         ON lc.c1 = cp.c1 AND rc.c2 = cp.c2
+),
+g AS (SELECT lid, gold_rid FROM read_parquet('{_fx}/gold.parquet')),
+gs AS (
+  SELECT f.lid, f.sim AS gsim, g.gold_rid
+  FROM f JOIN g ON f.lid = g.lid AND f.rid = g.gold_rid
+),
+rk AS (
+  SELECT f.lid,
+         1 + sum(CASE WHEN f.sim > gs.gsim THEN 1 ELSE 0 END)
+           + sum(CASE WHEN f.sim = gs.gsim AND f.rid < gs.gold_rid THEN 1 ELSE 0 END) AS rank
+  FROM f JOIN gs USING (lid)
+  GROUP BY f.lid
+)
+SELECT round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
+       round(avg(CASE WHEN rank <= 5 THEN 1.0 ELSE 0.0 END), 6) AS hits5,
+       round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10,
+       round(avg(rank * 1.0), 6) AS mr,
+       round(avg(1.0 / rank), 6) AS mrr
+FROM rk
 """
 
     sql["hits_metrics"] = f"""
