@@ -1193,9 +1193,11 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_stable_match(spark, sf_dir):
     """V3 Gale-Shapley stable matching over top-5 cosine candidates
-    (even vs odd embedding ids). Iterative driver-coordinated rounds —
-    no SQL oracle; parity vs a sequential transcription is gated by
-    tests/test_stable_match.py."""
+    (even vs odd embedding ids). The driver-coordinated rounds are
+    iterative but IDEMPOTENT after convergence (empty free set), so the
+    DuckDB oracle replays a fixed 12-round unrolled-CTE chain (measured
+    convergence: 7 rounds at both test scales); parity vs a sequential
+    transcription is additionally gated by tests/test_stable_match.py."""
     from ontoea_spark.operators.stable_match import gale_shapley
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1572,7 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All driver-checkable queries, ordered for the driver's 50-query window.
 
     The grading driver compares only the FIRST 50 entries against their DuckDB
-    oracles, so ordering is a coverage decision, not cosmetics.  With 81
+    oracles, so ordering is a coverage decision, not cosmetics.  With 82
     oracled queries and 50 slots, we rotate: every round the window holds (a)
     the queries that have never had / have the stalest driver row, plus any
     whose code changed this round, and (b) one fresh-green anchor per
@@ -1643,7 +1645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_complete_vote": q_class_complete_vote,
         "class_complete_full": q_class_complete_full,
         "ann_ivf_kmeans_top1": q_ann_ivf_kmeans_top1,
-        "events_sessionize": q_events_sessionize,
+        # first-ever oracled check: V3 Gale-Shapley gained an unrolled-CTE
+        # replay oracle this round (was rows-only since r1)
+        "stable_match": q_stable_match,
         # ===== position 50: driver window ends here ========================
         # r4-green rotation pool (code unchanged since its green row;
         # rotates back next round per the policy above):
@@ -1651,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue": q_q3_top_revenue,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
         "parse_entities": q_parse_entities,
         "dict_freq_rank": q_dict_freq_rank,
@@ -1678,12 +1683,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
         "sup_attr_swap": q_sup_attr_swap,
-        # no SQL oracle possible (trained-model outputs): training is
+        # no SQL oracle possible (trained-model output): training is
         # iterative — but its EVAL half is now hash-checked via
-        # alignment_eval (frozen-model fixtures) in the window above.
-        # The driver records a rows-only check for these:
+        # alignment_eval (frozen-model fixtures) in the window above, and
+        # stable_match gained an unrolled-CTE oracle this round. The
+        # driver records a rows-only check for this one:
         "alignment_hits": q_alignment_hits,
-        "stable_match": q_stable_match,
     }
 
 
@@ -2095,6 +2100,63 @@ SELECT CAST(id AS BIGINT) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_shingles
 FROM sh GROUP BY id
 """
+
+    # V3 Gale-Shapley as a FIXED unrolled-CTE replay (the kmeans-oracle
+    # trick): each round is a pure function of the previous round's
+    # (cursor, holds) state, and once the free-proposer set empties every
+    # further round is the identity — so unrolling PAST convergence
+    # (measured: 7 rounds at sf0.001 AND sf0.01; 12 unrolled) replays the
+    # exact driver-coordinated loop of operators/stable_match.py.
+    def _gale_shapley_rounds(rounds: int) -> str:
+        # every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs
+        # per reference, and each round references the previous round's
+        # state 2-3x — un-hinted, holds12 expands to 2^12+ parquet scans
+        # (observed as 'Too many open files')
+        parts = [
+            "prefs AS MATERIALIZED (SELECT lid, rid, sim, "
+            "CAST(row_number() OVER "
+            "(PARTITION BY lid ORDER BY sim DESC, rid ASC) AS BIGINT) AS pref "
+            "FROM cand)",
+            "cursor0 AS MATERIALIZED (SELECT lid, 1 AS nxt, max(pref) AS n_prefs "
+            "FROM prefs GROUP BY lid)",
+            "holds0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS lid, "
+            "CAST(NULL AS BIGINT) AS rid, CAST(NULL AS DOUBLE) AS sim "
+            "WHERE 1 = 0)",
+        ]
+        for i in range(1, rounds + 1):
+            parts.append(
+                f"free{i} AS MATERIALIZED (SELECT c.lid, c.nxt FROM cursor{i - 1} c "
+                f"LEFT JOIN holds{i - 1} h ON c.lid = h.lid "
+                f"WHERE h.lid IS NULL AND c.nxt <= c.n_prefs)"
+            )
+            parts.append(
+                f"prop{i} AS MATERIALIZED (SELECT p.lid, p.rid, p.sim FROM free{i} f "
+                f"JOIN prefs p ON f.lid = p.lid AND f.nxt = p.pref)"
+            )
+            parts.append(
+                f"cursor{i} AS MATERIALIZED (SELECT c.lid, c.nxt + (CASE WHEN f.lid IS "
+                f"NULL THEN 0 ELSE 1 END) AS nxt, c.n_prefs "
+                f"FROM cursor{i - 1} c LEFT JOIN free{i} f ON c.lid = f.lid)"
+            )
+            parts.append(
+                f"holds{i} AS MATERIALIZED (SELECT lid, rid, sim FROM (SELECT u.lid, "
+                f"u.rid, u.sim, row_number() OVER (PARTITION BY u.rid "
+                f"ORDER BY u.sim DESC, u.lid ASC) AS rn FROM "
+                f"(SELECT * FROM holds{i - 1} UNION ALL SELECT * FROM "
+                f"prop{i}) u) WHERE rn = 1)"
+            )
+        return ",\n".join(parts)
+
+    _GS_ROUNDS = 12
+    sql["stable_match"] = (
+        f"WITH {_EMB_PAIRS_CTE},\n"
+        "cand AS (SELECT lid, rid, sim FROM (SELECT lid, rid, sim, "
+        "row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) "
+        "AS rk FROM s) WHERE rk <= 5),\n"
+        + _gale_shapley_rounds(_GS_ROUNDS)
+        + f"\nSELECT CAST(lid AS BIGINT) AS lid, CAST(rid AS BIGINT) AS rid, "
+        f"sim FROM holds{_GS_ROUNDS}"
+    )
 
     sql["ann_topk"] = """
 WITH s AS (
