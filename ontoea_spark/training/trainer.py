@@ -1007,13 +1007,40 @@ def distributed_gradients(
     parts = triples_df.select(
         F.col("h").cast("long"), F.col("r").cast("long"), F.col("t").cast("long")
     ).mapInPandas(shard, schema="kind int, idx long, grad array<double>")
-    zero = F.array_repeat(F.lit(0.0), dim)
-    summed = parts.groupBy("kind", "idx").agg(
-        F.aggregate(
-            F.collect_list("grad"),
-            zero,
-            lambda acc, g: F.zip_with(acc, g, lambda a, b: a + b),
-        ).alias("grad")
+
+    def reduce_partition(pdf_iter):
+        # Vectorized by-key sum of the shard gradients. The frame arrives
+        # hash-repartitioned on (kind, idx), so the partition-local sum IS
+        # the global sum per key. A Catalyst collect_list + zip_with fold
+        # here is interpreted per array element — at dim 300 that fold
+        # alone dominated the step (~20 s/step at 30k touched rows);
+        # numpy np.add.at over the Arrow batches is ~two orders faster.
+        kinds, idxs, grads = [], [], []
+        for pdf in pdf_iter:
+            if len(pdf):
+                kinds.append(pdf["kind"].to_numpy())
+                idxs.append(pdf["idx"].to_numpy())
+                grads.append(np.asarray(pdf["grad"].to_list(), dtype=np.float64))
+        if not kinds:
+            return
+        kind = np.concatenate(kinds)
+        idx = np.concatenate(idxs)
+        grad = np.vstack(grads)
+        key = (kind.astype(np.int64) << 48) | idx
+        uk, inv = np.unique(key, return_inverse=True)
+        out = np.zeros((len(uk), grad.shape[1]))
+        np.add.at(out, inv, grad)
+        yield pd.DataFrame(
+            {
+                "kind": (uk >> 48).astype("int32"),
+                "idx": (uk & ((1 << 48) - 1)).astype("int64"),
+                "grad": list(out),
+            }
+        )
+
+    n_red = max(1, spark.sparkContext.defaultParallelism)
+    summed = parts.repartition(n_red, "kind", "idx").mapInPandas(
+        reduce_partition, schema="kind int, idx long, grad array<double>"
     )
     ge = np.zeros_like(ent)
     gr = np.zeros_like(rel)
