@@ -118,6 +118,29 @@ class TrainConfig:
     #                fit() under 'spark' must match fit() under
     #                'local_hash' to ~1e-9 (tests/test_alignment.py).
     gradient_mode: str = "local"
+    # Where the ENTITY weights + their Adagrad state live:
+    #   'driver'  NumPy on the driver (reference shape; all modes)
+    #   'spark'   paramstore.SparkEntStore — a (idx, w, g2) DataFrame;
+    #             the driver holds only per-step touched slices, the
+    #             Adagrad+renorm update runs inside the store, and the
+    #             B7 pool stays a DataFrame served by entry-level fetch
+    #             (no O(n_ent) broadcast anywhere). Requires
+    #             gradient_mode='spark' (+ pool_mode='spark' when
+    #             neg_sampling='truncated'). Same math as the driver
+    #             loop — fit() under the store matches 'local_hash'
+    #             to ~1e-9 (tests/test_param_store.py).
+    param_store: str = "driver"
+    store_parts: int | None = None    # store partitions (default: parallelism)
+    # Skip the driver-side ent/_opt_ent allocation entirely (store mode
+    # at scales where n_ent·dim no longer fits one machine); fit() then
+    # needs an injected ent_store (paramstore.distributed_init). NOTE:
+    # skipping the ent draw shifts the init RNG stream for rel/onto, so
+    # equivalence tests leave this off.
+    defer_ent_init: bool = False
+    # Gather the trained matrix back to self.ent after a store-mode fit
+    # (small-scale convenience). At real scale turn off and read
+    # trainer._ent_store.ent_df() / write parquet instead.
+    store_final_gather: bool = True
 
 
 class Adagrad:
@@ -223,11 +246,21 @@ class OntoEATrainer:
         self.cfg = cfg or TrainConfig()
         c = self.cfg
         self.rng = np.random.default_rng(c.seed)
-        self.ent = _unit_init(self.rng, n_ent, c.dim)
+        self.n_ent = n_ent
+        self.n_rel = n_rel
+        self._ent_store = None          # set by fit() under param_store='spark'
+        self._spark_pool = None
+        if c.defer_ent_init:
+            # store-mode-only scale path: the matrix never exists on the
+            # driver; fit() requires an injected SparkEntStore
+            self.ent = None
+            self._opt_ent = None
+        else:
+            self.ent = _unit_init(self.rng, n_ent, c.dim)
+            self._opt_ent = Adagrad((n_ent, c.dim), c.lr)
         self.rel = _unit_init(self.rng, n_rel, c.dim)
         self.onto = _unit_init(self.rng, max(n_cls, 1), c.dim)
         self.mapping = np.eye(c.dim, dtype=np.float64)
-        self._opt_ent = Adagrad(self.ent.shape, c.lr)
         self._opt_rel = Adagrad(self.rel.shape, c.lr)
         self._opt_onto = Adagrad(self.onto.shape, c.onto_lr)
         self._opt_map = Adagrad(self.mapping.shape, c.lr)
@@ -264,7 +297,7 @@ class OntoEATrainer:
                 corrupt_head, pool[nh, draws], pool[nt, draws]
             )
         else:
-            rand_ids = self.rng.integers(0, len(self.ent), size=n * reps)
+            rand_ids = self.rng.integers(0, self.n_ent, size=n * reps)
         nh[corrupt_head] = rand_ids[corrupt_head]
         nt[~corrupt_head] = rand_ids[~corrupt_head]
 
@@ -333,38 +366,71 @@ class OntoEATrainer:
         return float(loss)
 
     # -- E4: membership (cv links) -------------------------------------
+    # -- param_store dispatch ---------------------------------------------
+    def _ent_view(self, ids: np.ndarray):
+        """Read access to entity rows in both storage modes: the dense
+        driver matrix when resident, else a :class:`_GatherView` over
+        exactly the (sorted-unique) ids gathered from the SparkEntStore
+        — O(len(ids)·dim) driver traffic, never O(n_ent)."""
+        if self.ent is not None:
+            return self.ent
+        if self._ent_store is None:
+            raise RuntimeError("no entity weights: ent is None and no store")
+        uniq = np.unique(np.asarray(ids, dtype=np.int64).ravel())
+        return _GatherView(uniq, self._ent_store.gather(uniq), self.n_ent)
+
+    def _apply_ent_grads(self, ids: np.ndarray, rows: np.ndarray,
+                         scale: float = 1.0) -> None:
+        """Dispatch one compact entity-gradient step (sorted-unique ids,
+        one grad row each). Driver mode scatters into the dense matrix
+        and runs the shared Adagrad + full-matrix row renorm — the
+        reference bit order; store mode applies the same float64 math to
+        the touched rows inside the store (untouched rows are already
+        unit-norm, so skipping their renorm drifts ≤1 ulp/step —
+        covered by the 1e-9 equivalence gate)."""
+        if self.ent is None:
+            self._ent_store.apply_grads(ids, rows, scale)
+            return
+        ge = np.zeros_like(self.ent)
+        ge[ids] = rows
+        self._opt_ent.step(self.ent, scale * ge if scale != 1.0 else ge)
+        self.ent = _l2_rows(self.ent)
+
     def step_membership(self, cv_links: np.ndarray) -> float:
         c = self.cfg
         if len(cv_links) == 0:
             return 0.0
         e, cl = cv_links[:, 0], cv_links[:, 1]
         ncl = self.rng.integers(0, len(self.onto), size=len(cv_links))
+        E = self._ent_view(e)
         if self.cv_mlp is not None:
             # ent2onto path (losses.py:118-137): entity projected into
             # class space through its own MLP before the limited loss
-            z, cache = self.cv_mlp.forward(self.ent[e])
+            z, cache = self.cv_mlp.forward(E[e])
             pos_d = z - self.onto[cl]
             neg_d = z - self.onto[ncl]
         else:
-            pos_d = self.ent[e] - self.onto[cl]
-            neg_d = self.ent[e] - self.onto[ncl]
+            pos_d = E[e] - self.onto[cl]
+            neg_d = E[e] - self.onto[ncl]
         loss, pc, nc = limited_loss_grads(
             pos_d, neg_d, c.pos_margin, c.neg_margin, c.balance
         )
-        ge = np.zeros_like(self.ent)
         go = np.zeros_like(self.onto)
         pg = 2.0 * pc[:, None] * pos_d
         ng = 2.0 * nc[:, None] * neg_d
+        # compact entity gradient over the touched ids only (same
+        # np.add.at accumulation order as a dense scatter — bit-equal)
+        uniq_e, inv = np.unique(e, return_inverse=True)
+        ge_rows = np.zeros((len(uniq_e), E.shape[1]))
         if self.cv_mlp is not None:
             dX = self.cv_mlp.backward(cache, pg + ng)
-            np.add.at(ge, e, dX)
+            np.add.at(ge_rows, inv, dX)
         else:
-            np.add.at(ge, e, pg + ng)
+            np.add.at(ge_rows, inv, pg + ng)
         np.add.at(go, cl, -pg)
         np.add.at(go, ncl, -ng)
-        self._opt_ent.step(self.ent, ge)
+        self._apply_ent_grads(uniq_e, ge_rows)
         self._opt_onto.step(self.onto, go)
-        self.ent = _l2_rows(self.ent)
         return float(loss)
 
     # -- B6: prob-based onto negative distribution -------------------------
@@ -381,7 +447,7 @@ class OntoEATrainer:
 
     # -- B7: truncated-neighborhood refresh --------------------------------
     def _pool_width(self) -> int:
-        n = len(self.ent)
+        n = self.n_ent
         return max(
             1,
             min(
@@ -489,7 +555,7 @@ class OntoEATrainer:
         """Build the onto2ent inverse index (kgs.py:169-196 G7) for
         type-based seed negatives: per entity its class id (-1 if
         untyped) and a flattened per-class entity pool."""
-        ent_cls = np.full(len(self.ent), -1, dtype=np.int64)
+        ent_cls = np.full(self.n_ent, -1, dtype=np.int64)
         if len(cv_links):
             ent_cls[cv_links[:, 0]] = cv_links[:, 1]
         order = np.argsort(cv_links[:, 1], kind="stable") if len(cv_links) else []
@@ -511,7 +577,7 @@ class OntoEATrainer:
         the entity is typed and its class pool has >1 member, uniform
         fallback otherwise (batch.py:210-265)."""
         n = len(e2)
-        uniform = self.rng.integers(0, len(self.ent), size=n)
+        uniform = self.rng.integers(0, self.n_ent, size=n)
         if (
             self.cfg.seed_neg_method != "type_based"
             or getattr(self, "_ent_cls", None) is None
@@ -536,26 +602,31 @@ class OntoEATrainer:
         e1, e2 = train_links[:, 0], train_links[:, 1]
         ne2 = self._seed_negatives(e2)
         m = self.mapping
-        p1 = self.ent[e1] @ m
-        pos_d = p1 - self.ent[e2]
-        neg_d = p1 - self.ent[ne2]
+        ids_all = np.concatenate([e1, e2, ne2])
+        E = self._ent_view(ids_all)
+        p1 = E[e1] @ m
+        pos_d = p1 - E[e2]
+        neg_d = p1 - E[ne2]
         loss, pc, nc = limited_loss_grads(
             pos_d, neg_d, c.pos_margin, c.neg_margin, c.balance
         )
         pg = 2.0 * pc[:, None] * pos_d
         ng = 2.0 * nc[:, None] * neg_d
-        gm = self.ent[e1].T @ (pg + ng)
+        gm = E[e1].T @ (pg + ng)
         # orthogonal regularizer d/dM ‖MMᵀ−I‖² = 4(MMᵀ−I)M
         ortho = m @ m.T - np.eye(c.dim)
         gm += 4.0 * ortho @ m
         loss += float(np.sum(ortho * ortho))
-        ge = np.zeros_like(self.ent)
-        np.add.at(ge, e1, (pg + ng) @ m.T)
-        np.add.at(ge, e2, -pg)
-        np.add.at(ge, ne2, -ng)
+        # compact entity gradient (add.at runs in the same e1, e2, ne2
+        # element order as the old dense scatter — bit-equal)
+        n = len(e1)
+        uniq_e, inv = np.unique(ids_all, return_inverse=True)
+        ge_rows = np.zeros((len(uniq_e), E.shape[1]))
+        np.add.at(ge_rows, inv[:n], (pg + ng) @ m.T)
+        np.add.at(ge_rows, inv[n : 2 * n], -pg)
+        np.add.at(ge_rows, inv[2 * n :], -ng)
         self._opt_map.step(self.mapping, c.alpha * gm)
-        self._opt_ent.step(self.ent, c.alpha * ge)
-        self.ent = _l2_rows(self.ent)
+        self._apply_ent_grads(uniq_e, ge_rows, scale=c.alpha)
         return float(loss)
 
     # -- E8: schedule ----------------------------------------------------
@@ -598,6 +669,11 @@ class OntoEATrainer:
         mode = c.gradient_mode
         if mode not in ("local", "local_hash", "spark"):
             raise ValueError(f"unknown gradient_mode {mode!r}")
+        if c.param_store not in ("driver", "spark"):
+            raise ValueError(f"unknown param_store {c.param_store!r}")
+        store_mode = c.param_store == "spark"
+        if store_mode and mode != "spark":
+            raise ValueError("param_store='spark' requires gradient_mode='spark'")
         if mode == "spark":
             if spark is None:
                 raise ValueError("gradient_mode='spark' needs a SparkSession")
@@ -615,6 +691,28 @@ class OntoEATrainer:
                 ).repartition(spark.sparkContext.defaultParallelism)
             triples_df = triples_df.localCheckpoint(eager=True)
             self._n_hash_triples = triples_df.count()
+            if store_mode:
+                if c.neg_sampling == "truncated" and c.pool_mode != "spark":
+                    raise ValueError(
+                        "param_store='spark' keeps the B7 pool distributed"
+                        " — set pool_mode='spark'"
+                    )
+                from ontoea_spark.training.paramstore import SparkEntStore
+
+                if self._ent_store is None:
+                    if self.ent is None:
+                        raise ValueError(
+                            "defer_ent_init: inject a SparkEntStore "
+                            "(paramstore.distributed_init) as _ent_store "
+                            "before fit()"
+                        )
+                    self._ent_store = SparkEntStore.from_numpy(
+                        spark, self.ent, c.lr, n_parts=c.store_parts
+                    )
+                # drop every driver-resident O(n_ent) array for the
+                # duration of training — the point of the tier
+                self.ent = None
+                self._opt_ent = None
         elif mode == "local_hash":
             self._n_hash_triples = len(triples)
         best, declines = -1.0, 0
@@ -645,10 +743,25 @@ class OntoEATrainer:
                             "pool_mode='spark' needs a SparkSession "
                             "(use gradient_mode='spark')"
                         )
-                    self.refresh_neighbor_pool_spark(spark)
+                    if store_mode:
+                        # the pool never leaves the cluster: built from
+                        # the store's (id, vec) view by the same blocked
+                        # top-k join, kept as a DataFrame, served to the
+                        # negative derivation entry-by-entry
+                        from ontoea_spark.training.paramstore import (
+                            SparkNeighborPool,
+                        )
+
+                        self._spark_pool = SparkNeighborPool.build(
+                            spark,
+                            self._ent_store.ent_df(),
+                            self._pool_width(),
+                        )
+                    else:
+                        self.refresh_neighbor_pool_spark(spark)
                 else:
                     self.refresh_neighbor_pool()
-                if mode == "spark":
+                if mode == "spark" and not store_mode:
                     if pool_bc is not None:
                         pool_bc.destroy()
                     pool_bc = spark.sparkContext.broadcast(
@@ -695,6 +808,21 @@ class OntoEATrainer:
                         bids = bmix % n_b
                     for b in range(n_b):
                         step_salt = self.step_counts["triples"]
+                        if mode == "spark" and store_mode:
+                            # ENT update runs inside the store; only the
+                            # small rel gradient + loss reach the driver
+                            gr, loss = distributed_gradients_store(
+                                spark,
+                                triples_df.filter(bexpr == b),
+                                self._ent_store,
+                                self.rel,
+                                c,
+                                step_salt,
+                                self._spark_pool,
+                            )
+                            self._opt_rel.step(self.rel, gr)
+                            self.step_counts["triples"] += 1
+                            continue
                         if mode == "spark":
                             ge, gr, loss = distributed_gradients(
                                 spark,
@@ -757,17 +885,25 @@ class OntoEATrainer:
                     best, declines = h1, 0
         if pool_bc is not None:
             pool_bc.destroy()
+        if store_mode and c.store_final_gather:
+            # small-scale convenience: bring the trained matrix back so
+            # downstream eval helpers see the usual dense self.ent. At
+            # real scale leave store_final_gather=False and read
+            # self._ent_store.ent_df() (or write it to parquet).
+            self.ent = self._ent_store.to_numpy()
         return self
 
     # -- evaluation helpers ---------------------------------------------
     def mapped_embeds(self, ids: np.ndarray) -> np.ndarray:
-        return _l2_rows(self.ent[ids] @ self.mapping)
+        E = self._ent_view(ids)
+        return _l2_rows(E[ids] @ self.mapping)
 
     def hits_at_1(self, links: np.ndarray) -> float:
         """Driver-side Hits@1 over link candidates (for early stopping;
         the full evaluation runs distributed via the simjoin operator)."""
         e1 = self.mapped_embeds(links[:, 0])
-        e2 = _l2_rows(self.ent[links[:, 1]])
+        E2 = self._ent_view(links[:, 1])
+        e2 = _l2_rows(E2[links[:, 1]])
         sim = e1 @ e2.T
         return float(np.mean(np.argmax(sim, axis=1) == np.arange(len(links))))
 
@@ -895,83 +1031,32 @@ def local_hash_gradients(triples, ent, rel, cfg, salt=0, pool=None):
     return ge, gr, loss
 
 
-def distributed_gradients(
-    spark, triples_df, ent, rel, cfg, salt=0, pool_bc=None, stats=None
-) -> tuple:
-    """The mapInPandas scale-out path for E2: executors compute the
-    triple-loss gradient per shard, emitting ONLY the touched (id, grad)
-    rows — O(shard batch), never O(n_ent) — which Spark reduces by key
-    before one small driver collect. (A dense per-shard gradient would
-    be shards x n_ent x dim driver traffic — VERDICT r01 'What's wrong'
-    #3.)
+# Row tags in the (kind, idx, grad) gradient frame the E2 shard pipeline
+# emits: entity rows, relation rows, and one loss scalar per shard
+# (padded to dim so the frame stays single-schema).
+K_ENT, K_REL, K_LOSS = 0, 1, 2
 
-    Weights ship as TOUCHED-ROW SLICES, not full matrices (VERDICT r4
-    'wrong' #3): the minibatch ids are pulled to the driver (O(batch)
-    longs), the step's negatives are re-derived there with the same
-    (h, r, t, replica, salt) hash the executors use, and only
-    ``ent[touched]`` / ``rel[touched]`` broadcast — O(batch·neg_per_pos
-    ·dim) per step regardless of n_ent, where the full matrices are
-    n_ent·dim (480 MB/step at 200K entities x dim 300, and simply
-    impossible at web-scale entity counts). Executors resolve global ids
-    against the slice through a sorted-id :class:`_GatherView`. The
-    remaining O(n_ent) per-REFRESH (not per-step) artifact is the
-    neighbor pool broadcast; the next tier is a join-based per-shard
-    gather against a weights DataFrame, which also removes the driver-
-    resident Adagrad state.
 
-    Deterministic: negatives are derived per-row from a hash of
-    (h, r, t, replica), not an RNG, so the result is
-    partitioning-independent (up to float summation order ~1e-15) and
-    honors cfg.neg_per_pos like the local minibatch path.
+def _grad_sum_frame(
+    spark, triples_df, b_ent, b_rel, n_ent, n_rel, dim, cfg, salt, pool_b
+):
+    """The shared E2 shard-compute + by-key-reduce pipeline: executors
+    run :func:`_hashneg_batch_grads` per Arrow shard against the
+    broadcast ``(ids, rows)`` weight slices (resolved through
+    :class:`_GatherView`), emit compact ``(kind, idx, grad)`` rows, and
+    a hash repartition on (kind, idx) + vectorized partition-local sum
+    produces one globally-summed row per touched id. Returns the summed
+    frame LAZY — callers decide whether it lands on the driver
+    (:func:`distributed_gradients`) or joins back into the parameter
+    store without ever visiting it
+    (:func:`distributed_gradients_store`).
 
-    ``pool_bc``: an ALREADY-BROADCAST truncated-neighbor pool
-    (sc.broadcast of the [n_ent, pool_width] id matrix) for B7 hard
-    negatives. The caller owns its lifecycle — fit() re-broadcasts only
-    on pool refresh (every truncated_freq epochs), so the pool does NOT
-    re-ship per gradient step like the weights do.
-
-    ``stats``: optional dict; when given, records ``slice_ent_rows`` /
-    ``slice_rel_rows`` / ``batch_rows`` for the step (the scale gate the
-    tests assert: slice rows are bounded by the batch, not n_ent).
-
-    Returns (ge, gr, loss) summed over all shards; ge/gr are dense
-    arrays with nonzero rows only at touched ids.
-    """
+    ``pool_b``: optional broadcast whose ``.value`` supports
+    ``pool.shape[1]`` and ``pool[ids, j]`` — the dense [n_ent, width]
+    matrix in slice mode, a :class:`paramstore._SparsePool` of just this
+    step's prefetched entries in store mode."""
     import pandas as pd
     from pyspark.sql import functions as F
-
-    n_ent, dim = ent.shape
-    n_rel = rel.shape[0]
-
-    # O(batch) driver pull of the minibatch ids (the triples frame is
-    # already the hash-filtered step batch) + same-hash negative
-    # derivation = the exact touched-row set, known before any weight
-    # bytes move.
-    mb = triples_df.select(
-        F.col("h").cast("long"), F.col("r").cast("long"), F.col("t").cast("long")
-    ).toPandas()
-    mh = mb["h"].to_numpy()
-    mr = mb["r"].to_numpy()
-    mt = mb["t"].to_numpy()
-    pool_local = pool_bc.value if pool_bc is not None else None
-    if len(mh):
-        nhh, nrr, _, nnh, nnt = _hashneg_negatives(
-            mh, mr, mt, n_ent, cfg, salt, pool_local
-        )
-        touched_e = np.unique(np.concatenate([mh, mt, nnh, nnt]))
-        touched_r = np.unique(np.concatenate([mr, nrr]))
-    else:
-        touched_e = np.zeros(0, dtype=np.int64)
-        touched_r = np.zeros(0, dtype=np.int64)
-    if stats is not None:
-        stats["batch_rows"] = int(len(mh))
-        stats["slice_ent_rows"] = int(len(touched_e))
-        stats["slice_rel_rows"] = int(len(touched_r))
-
-    b_ent = spark.sparkContext.broadcast((touched_e, ent[touched_e]))
-    b_rel = spark.sparkContext.broadcast((touched_r, rel[touched_r]))
-
-    K_ENT, K_REL, K_LOSS = 0, 1, 2
 
     def shard(pdf_iter):
         for pdf in pdf_iter:
@@ -985,7 +1070,7 @@ def distributed_gradients(
                 R,
                 cfg,
                 salt,
-                pool_bc.value if pool_bc is not None else None,
+                pool_b.value if pool_b is not None else None,
             )
             # loss rides along as a kind-2 row padded to dim
             lrow = np.zeros(dim)
@@ -1039,8 +1124,89 @@ def distributed_gradients(
         )
 
     n_red = max(1, spark.sparkContext.defaultParallelism)
-    summed = parts.repartition(n_red, "kind", "idx").mapInPandas(
+    return parts.repartition(n_red, "kind", "idx").mapInPandas(
         reduce_partition, schema="kind int, idx long, grad array<double>"
+    )
+
+
+def distributed_gradients(
+    spark, triples_df, ent, rel, cfg, salt=0, pool_bc=None, stats=None
+) -> tuple:
+    """The mapInPandas scale-out path for E2: executors compute the
+    triple-loss gradient per shard, emitting ONLY the touched (id, grad)
+    rows — O(shard batch), never O(n_ent) — which Spark reduces by key
+    before one small driver collect. (A dense per-shard gradient would
+    be shards x n_ent x dim driver traffic — VERDICT r01 'What's wrong'
+    #3.)
+
+    Weights ship as TOUCHED-ROW SLICES, not full matrices (VERDICT r4
+    'wrong' #3): the minibatch ids are pulled to the driver (O(batch)
+    longs), the step's negatives are re-derived there with the same
+    (h, r, t, replica, salt) hash the executors use, and only
+    ``ent[touched]`` / ``rel[touched]`` broadcast — O(batch·neg_per_pos
+    ·dim) per step regardless of n_ent, where the full matrices are
+    n_ent·dim (480 MB/step at 200K entities x dim 300, and simply
+    impossible at web-scale entity counts). Executors resolve global ids
+    against the slice through a sorted-id :class:`_GatherView`. The
+    remaining O(n_ent) per-REFRESH (not per-step) artifact is the
+    neighbor pool broadcast; :func:`distributed_gradients_store`
+    (param_store='spark') is the next tier, which removes it along with
+    the driver-resident weights and Adagrad state.
+
+    Deterministic: negatives are derived per-row from a hash of
+    (h, r, t, replica), not an RNG, so the result is
+    partitioning-independent (up to float summation order ~1e-15) and
+    honors cfg.neg_per_pos like the local minibatch path.
+
+    ``pool_bc``: an ALREADY-BROADCAST truncated-neighbor pool
+    (sc.broadcast of the [n_ent, pool_width] id matrix) for B7 hard
+    negatives. The caller owns its lifecycle — fit() re-broadcasts only
+    on pool refresh (every truncated_freq epochs), so the pool does NOT
+    re-ship per gradient step like the weights do.
+
+    ``stats``: optional dict; when given, records ``slice_ent_rows`` /
+    ``slice_rel_rows`` / ``batch_rows`` for the step (the scale gate the
+    tests assert: slice rows are bounded by the batch, not n_ent).
+
+    Returns (ge, gr, loss) summed over all shards; ge/gr are dense
+    arrays with nonzero rows only at touched ids.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n_ent, dim = ent.shape
+    n_rel = rel.shape[0]
+
+    # O(batch) driver pull of the minibatch ids (the triples frame is
+    # already the hash-filtered step batch) + same-hash negative
+    # derivation = the exact touched-row set, known before any weight
+    # bytes move.
+    mb = triples_df.select(
+        F.col("h").cast("long"), F.col("r").cast("long"), F.col("t").cast("long")
+    ).toPandas()
+    mh = mb["h"].to_numpy()
+    mr = mb["r"].to_numpy()
+    mt = mb["t"].to_numpy()
+    pool_local = pool_bc.value if pool_bc is not None else None
+    if len(mh):
+        nhh, nrr, _, nnh, nnt = _hashneg_negatives(
+            mh, mr, mt, n_ent, cfg, salt, pool_local
+        )
+        touched_e = np.unique(np.concatenate([mh, mt, nnh, nnt]))
+        touched_r = np.unique(np.concatenate([mr, nrr]))
+    else:
+        touched_e = np.zeros(0, dtype=np.int64)
+        touched_r = np.zeros(0, dtype=np.int64)
+    if stats is not None:
+        stats["batch_rows"] = int(len(mh))
+        stats["slice_ent_rows"] = int(len(touched_e))
+        stats["slice_rel_rows"] = int(len(touched_r))
+
+    b_ent = spark.sparkContext.broadcast((touched_e, ent[touched_e]))
+    b_rel = spark.sparkContext.broadcast((touched_r, rel[touched_r]))
+
+    summed = _grad_sum_frame(
+        spark, triples_df, b_ent, b_rel, n_ent, n_rel, dim, cfg, salt, pool_bc
     )
     ge = np.zeros_like(ent)
     gr = np.zeros_like(rel)
@@ -1064,3 +1230,88 @@ def distributed_gradients(
         b_ent.destroy()
         b_rel.destroy()
     return ge, gr, loss
+
+
+def distributed_gradients_store(
+    spark, triples_df, store, rel, cfg, salt=0, spark_pool=None, stats=None
+) -> tuple:
+    """The param_store='spark' E2 step: like :func:`distributed_gradients`
+    but the entity weights live in a :class:`paramstore.SparkEntStore`
+    and the ENTITY gradient never visits the driver — the by-key-reduced
+    (idx, grad) frame joins straight into the store, where the Adagrad +
+    row-L2 update runs executor-side (``apply_grads_df``). The driver
+    only sees: the minibatch ids (O(batch) longs, to derive the
+    hash-negatives and thus the touched-id set), the gathered touched
+    ENT rows (O(batch·neg_per_pos·dim), broadcast back out as the
+    compute slice), the summed RELATION rows (n_rel is small — the
+    driver keeps rel and its Adagrad), and the loss scalar.
+
+    ``spark_pool``: a :class:`paramstore.SparkNeighborPool` (B7 pool as
+    a DataFrame). The driver's negative derivation reads it through a
+    recording view, and exactly the entries it consumed broadcast to
+    the executors as a :class:`paramstore._SparsePool` — O(batch·
+    neg_per_pos) longs per step, so NOTHING O(n_ent) ships anywhere.
+
+    Returns ``(gr, loss)``; the caller applies ``gr`` to the
+    driver-resident relation matrix. Equivalence with the driver loop is
+    gated by tests/test_param_store.py (full fit ≡ 'local_hash' ~1e-9).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ontoea_spark.training.paramstore import _RecordingPoolView
+
+    n_ent, dim = store.n_ent, store.dim
+    n_rel = rel.shape[0]
+
+    mb = triples_df.select(
+        F.col("h").cast("long"), F.col("r").cast("long"), F.col("t").cast("long")
+    ).toPandas()
+    mh = mb["h"].to_numpy()
+    mr = mb["r"].to_numpy()
+    mt = mb["t"].to_numpy()
+    if not len(mh):
+        return np.zeros_like(rel), 0.0
+    rec = (
+        _RecordingPoolView(spark_pool, n_ent) if spark_pool is not None else None
+    )
+    nhh, nrr, _, nnh, nnt = _hashneg_negatives(mh, mr, mt, n_ent, cfg, salt, rec)
+    touched_e = np.unique(np.concatenate([mh, mt, nnh, nnt]))
+    touched_r = np.unique(np.concatenate([mr, nrr]))
+    if stats is not None:
+        stats["batch_rows"] = int(len(mh))
+        stats["slice_ent_rows"] = int(len(touched_e))
+        stats["slice_rel_rows"] = int(len(touched_r))
+
+    b_ent = spark.sparkContext.broadcast((touched_e, store.gather(touched_e)))
+    b_rel = spark.sparkContext.broadcast((touched_r, rel[touched_r]))
+    b_pool = (
+        spark.sparkContext.broadcast(rec.sparse()) if rec is not None else None
+    )
+    try:
+        # materialize the summed gradient ONCE — it feeds two consumers
+        # (the store join and the driver's rel/loss collect)
+        summed = _grad_sum_frame(
+            spark, triples_df, b_ent, b_rel, n_ent, n_rel, dim, cfg, salt,
+            b_pool,
+        ).localCheckpoint(eager=True)
+        store.apply_grads_df(
+            summed.filter(F.col("kind") == K_ENT).select(
+                "idx", F.col("grad").alias("g")
+            )
+        )
+        pdf = summed.filter(F.col("kind") != K_ENT).toPandas()
+    finally:
+        b_ent.destroy()
+        b_rel.destroy()
+        if b_pool is not None:
+            b_pool.destroy()
+    gr = np.zeros_like(rel)
+    kinds = pdf["kind"].to_numpy()
+    idxs = pdf["idx"].to_numpy()
+    grads = np.array(pdf["grad"].to_list(), dtype=np.float64).reshape(
+        len(pdf), dim
+    )
+    gr[idxs[kinds == K_REL]] = grads[kinds == K_REL]
+    loss = float(grads[kinds == K_LOSS][:, 0].sum())
+    return gr, loss
