@@ -12,8 +12,17 @@ call per size discarded as warmup). Reports median step wall, the
 shipped slice rows, and the full-matrix rows the old path would have
 broadcast.
 
+STEP_SCALING_MODE=store benches the param_store='spark' tier instead
+(distributed_gradients_store against a SparkEntStore built with
+distributed_init — the driver never allocates n_ent·dim): its step has
+NO O(n_ent) driver or broadcast term at all, but the store update is a
+distributed scan+rewrite, so step wall grows ~linearly with n_ent /
+cluster-size — the expected trade, reported honestly side by side with
+slice mode's flat-wall/driver-bounded profile.
+
 Usage:  python scripts/bench_step_scaling.py   [prints one JSON line]
-Env:    STEP_SCALING_SIZES (comma ints), STEP_SCALING_STEPS, STEP_SCALING_CPUS
+Env:    STEP_SCALING_SIZES (comma ints), STEP_SCALING_STEPS,
+        STEP_SCALING_CPUS, STEP_SCALING_MODE (slice|store)
 """
 
 from __future__ import annotations
@@ -30,7 +39,11 @@ def main() -> None:
     import numpy as np
 
     from ontoea_spark.session import get_spark
-    from ontoea_spark.training.trainer import TrainConfig, distributed_gradients
+    from ontoea_spark.training.trainer import (
+        TrainConfig,
+        distributed_gradients,
+        distributed_gradients_store,
+    )
 
     sizes = [
         int(s)
@@ -38,6 +51,7 @@ def main() -> None:
     ]
     n_steps = int(os.environ.get("STEP_SCALING_STEPS", "5"))
     cpus = os.environ.get("STEP_SCALING_CPUS", "16")
+    mode = os.environ.get("STEP_SCALING_MODE", "slice")
     batch, dim, n_rel = 8192, 32, 64
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
@@ -47,8 +61,17 @@ def main() -> None:
 
     rows = []
     for n_ent in sizes:
-        ent = rng.normal(size=(n_ent, dim))
         rel = rng.normal(size=(n_rel, dim))
+        if mode == "store":
+            from ontoea_spark.training.paramstore import SparkEntStore
+
+            ent = None
+            store = SparkEntStore.distributed_init(
+                spark, n_ent, dim, lr=cfg.lr, seed=7
+            )
+        else:
+            ent = rng.normal(size=(n_ent, dim))
+            store = None
         import pandas as pd
 
         mb = pd.DataFrame(
@@ -66,7 +89,14 @@ def main() -> None:
         for step in range(n_steps + 1):
             stats = {}
             t0 = time.perf_counter()
-            distributed_gradients(spark, edges, ent, rel, cfg, salt=step, stats=stats)
+            if mode == "store":
+                distributed_gradients_store(
+                    spark, edges, store, rel, cfg, salt=step, stats=stats
+                )
+            else:
+                distributed_gradients(
+                    spark, edges, ent, rel, cfg, salt=step, stats=stats
+                )
             w = time.perf_counter() - t0
             if step > 0:  # step 0 = warmup (codegen, first shuffle)
                 walls.append(w)
@@ -86,6 +116,7 @@ def main() -> None:
 
     out = {
         "bench": "step_scaling",
+        "mode": mode,
         "batch": batch,
         "dim": dim,
         "neg_per_pos": cfg.neg_per_pos,

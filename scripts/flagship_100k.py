@@ -17,7 +17,10 @@ Everything in the run takes the at-scale path:
 
 Usage:  python scripts/flagship_100k.py  [prints one JSON line]
 Env:    FLAGSHIP_N_ENT / FLAGSHIP_EPOCHS / FLAGSHIP_BATCH / FLAGSHIP_CPUS
-        / FLAGSHIP_DIM / FLAGSHIP_K_CAND
+        / FLAGSHIP_DIM / FLAGSHIP_K_CAND / FLAGSHIP_PARAM_STORE
+        (driver|spark — 'spark' keeps entity weights + Adagrad in a
+        SparkEntStore DataFrame; nothing O(n_ent) driver-resident or
+        broadcast during training)
 
 The defaults (epochs 40, batch 32768, dim 32, local[16]) reproduce the
 BASELINE.md 100K row exactly: batch 32768 ≈ 2.3% of the 1.44M edges —
@@ -41,6 +44,7 @@ def main() -> None:
     cpus = os.environ.get("FLAGSHIP_CPUS", "16")
     k_cand = int(os.environ.get("FLAGSHIP_K_CAND", "50"))
     dim = int(os.environ.get("FLAGSHIP_DIM", "32"))
+    param_store = os.environ.get("FLAGSHIP_PARAM_STORE", "driver")
 
     from ontoea_spark.session import get_spark
     from ontoea_spark.training.align_pipeline import (
@@ -81,6 +85,7 @@ def main() -> None:
         pool_mode="spark",
         pool_cap=128,
         eval_freq=10,
+        param_store=param_store,
     )
     model = train(data, cfg)
     t2 = time.time()
