@@ -281,9 +281,8 @@ def evaluate(
     test = data.links_split.filter(F.col("split") == split)
     ids1 = np.array([r.id1 for r in test.select("id1").collect()], dtype=np.int64)
     ids2 = np.array([r.id2 for r in test.select("id2").collect()], dtype=np.int64)
-    norm2 = model.ent[ids2] / np.linalg.norm(
-        model.ent[ids2], axis=1, keepdims=True
-    )
+    e2 = model.ent_rows(ids2)
+    norm2 = e2 / np.linalg.norm(e2, axis=1, keepdims=True)
     left = _embed_df(spark, ids1, model.mapped_embeds(ids1))
     right = _embed_df(spark, ids2, norm2)
     scores = SJ.all_pairs_scores(left, right, metric="inner", round_to=None)
@@ -392,9 +391,8 @@ def evaluate_candidates(
     test = data.links_split.filter(F.col("split") == split)
     ids1 = np.array([r.id1 for r in test.select("id1").collect()], dtype=np.int64)
     ids2 = np.array([r.id2 for r in test.select("id2").collect()], dtype=np.int64)
-    norm2 = model.ent[ids2] / np.linalg.norm(
-        model.ent[ids2], axis=1, keepdims=True
-    )
+    e2 = model.ent_rows(ids2)
+    norm2 = e2 / np.linalg.norm(e2, axis=1, keepdims=True)
     left = _embed_df(spark, ids1, model.mapped_embeds(ids1))
     right = _embed_df(spark, ids2, norm2)
     cands = SJ.blocked_topk_join(

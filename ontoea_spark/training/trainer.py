@@ -898,6 +898,15 @@ class OntoEATrainer:
         E = self._ent_view(ids)
         return _l2_rows(E[ids] @ self.mapping)
 
+    def ent_rows(self, ids: np.ndarray) -> np.ndarray:
+        """Raw (un-mapped) entity rows for an id array, in request order —
+        works in both storage modes (dense slice when driver-resident,
+        store gather otherwise: O(len(ids)·dim) traffic, never O(n_ent)).
+        The eval helpers read through this so store-mode pipelines can
+        leave ``store_final_gather=False`` and still evaluate."""
+        E = self._ent_view(ids)
+        return E[np.asarray(ids, dtype=np.int64)]
+
     def hits_at_1(self, links: np.ndarray) -> float:
         """Driver-side Hits@1 over link candidates (for early stopping;
         the full evaluation runs distributed via the simjoin operator)."""
