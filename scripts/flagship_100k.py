@@ -20,7 +20,10 @@ Env:    FLAGSHIP_N_ENT / FLAGSHIP_EPOCHS / FLAGSHIP_BATCH / FLAGSHIP_CPUS
         / FLAGSHIP_DIM / FLAGSHIP_K_CAND / FLAGSHIP_PARAM_STORE
         (driver|spark — 'spark' keeps entity weights + Adagrad in a
         SparkEntStore DataFrame; nothing O(n_ent) driver-resident or
-        broadcast during training)
+        broadcast during training) / FLAGSHIP_STORE_GATHER (1|0 — 0
+        skips the final to_numpy gather, so eval too reads entity rows
+        through the store and the driver never holds n_ent·dim at any
+        point in the run)
 
 The defaults (epochs 40, batch 32768, dim 32, local[16]) reproduce the
 BASELINE.md 100K row exactly: batch 32768 ≈ 2.3% of the 1.44M edges —
@@ -45,6 +48,7 @@ def main() -> None:
     k_cand = int(os.environ.get("FLAGSHIP_K_CAND", "50"))
     dim = int(os.environ.get("FLAGSHIP_DIM", "32"))
     param_store = os.environ.get("FLAGSHIP_PARAM_STORE", "driver")
+    store_gather = os.environ.get("FLAGSHIP_STORE_GATHER", "1") == "1"
 
     from ontoea_spark.session import get_spark
     from ontoea_spark.training.align_pipeline import (
@@ -86,6 +90,7 @@ def main() -> None:
         pool_cap=128,
         eval_freq=10,
         param_store=param_store,
+        store_final_gather=store_gather,
     )
     model = train(data, cfg)
     t2 = time.time()
@@ -102,6 +107,8 @@ def main() -> None:
         "batch_size": batch,
         "cores": cpus,
         "k_cand": k_cand,
+        "param_store": param_store,
+        "store_gather": store_gather,
         "prep_s": round(t1 - t0, 1),
         "train_s": round(t2 - t1, 1),
         "eval_s": round(t3 - t2, 1),
