@@ -224,7 +224,17 @@ class SparkEntStore:
         into the store, so the entity gradient NEVER visits the driver
         (only the loss scalar and the small relation rows do). grad_df
         must be touched-row-sized (O(batch·neg_per_pos)) — it ships as a
-        broadcast join against the store."""
+        broadcast join against the store.
+
+        The broadcast hint is deliberate and UNGATED, unlike the
+        corpus-derived dictionary joins (operators/dictionary.py): the
+        gradient frame is bounded by *config*, not data —
+        ≤ batch·(2+2·neg_per_pos) rows × dim × 8 B (32768·22·dim
+        doubles ≈ 180 MB at dim 300; shrink batch_size to shrink it) —
+        and broadcasting it is what keeps the store's partitions in
+        place so the mapInPandas rewrite is partition-local. A shuffled
+        join would re-shuffle the ENTIRE O(n_ent·dim) store every step,
+        which is the actual scale-killer."""
         import pandas as pd
         from pyspark.sql import functions as F
 

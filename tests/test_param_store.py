@@ -197,7 +197,13 @@ def test_fit_store_mode_matches_local_hash(spark, bench_data):
 def test_fit_store_mode_driver_free(spark, bench_data):
     """With store_final_gather=False the driver NEVER holds an
     O(n_ent·dim) array after fit() starts: self.ent / _opt_ent stay
-    None and the trained weights are read from the store."""
+    None and the trained weights are read from the store — and the
+    full eval surface (evaluate / evaluate_candidates, which read
+    entity rows through ent_rows()) produces metrics identical to the
+    same weights evaluated dense, so the whole train→eval chain runs
+    store-resident."""
+    from ontoea_spark.training.align_pipeline import evaluate, evaluate_candidates
+
     tri, cv, tr = _fit_arrays(bench_data)
     cfg = TrainConfig(
         dim=16, epochs=5, sub_epoch=5, seed=7, gradient_mode="spark",
@@ -213,28 +219,11 @@ def test_fit_store_mode_driver_free(spark, bench_data):
     h1 = m.hits_at_1(tr[:10])
     assert 0.0 <= h1 <= 1.0
 
-
-def test_store_mode_eval_matches_dense(spark, bench_data):
-    """evaluate()/evaluate_candidates() read entity rows through
-    ent_rows(), so a store_final_gather=False model (nothing O(n_ent)
-    on the driver) must produce metrics identical to the same weights
-    evaluated dense — the full train→eval chain works store-resident."""
-    from ontoea_spark.training.align_pipeline import evaluate, evaluate_candidates
-
-    tri, cv, tr = _fit_arrays(bench_data)
-    cfg = TrainConfig(
-        dim=16, epochs=5, sub_epoch=5, seed=7, gradient_mode="spark",
-        param_store="spark", pool_mode="spark", store_final_gather=False,
-    )
-    m = OntoEATrainer(bench_data.n_ent, bench_data.n_rel, bench_data.n_cls, cfg)
-    m.fit(tri, bench_data.sub_ids, cv, tr, spark=spark)
-    assert m.ent is None
-
     via_store = {
         "full": evaluate(spark, bench_data, m).collect(),
         "cand": evaluate_candidates(spark, bench_data, m, k_cand=20).collect(),
     }
-    m.ent = m._ent_store.to_numpy()  # flip to the dense read path
+    m.ent = got  # flip to the dense read path: results must be identical
     via_dense = {
         "full": evaluate(spark, bench_data, m).collect(),
         "cand": evaluate_candidates(spark, bench_data, m, k_cand=20).collect(),
