@@ -681,6 +681,15 @@ def q_para_dedup(spark, sf_dir):
     return D.chunk_dup_signals(_documents(spark, sf_dir), chunk_tokens=16)
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact substring-span duplication signals (Lee et al. ExactSubstr at
+    word granularity): overlapping 8-gram occurrences counted corpus-wide,
+    duplicated intervals merged per doc into maximal spans
+    (dedup.span_dedup_signals). Catches repeated passages at arbitrary
+    offsets that both document-level and disjoint-chunk dedup miss."""
+    return D.span_dedup_signals(_documents(spark, sf_dir), k=8)
+
+
 def q_quality_score(spark, sf_dir):
     """Model-based quality filter: fixed-weight linear scorer + keep flag
     (curation.quality_score — transcendental-free for cross-engine
@@ -1614,7 +1623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_metrics_candidates": q_hits_metrics_candidates,
         "onto_compat_v1": q_onto_compat_v1,
         "rel_class_entropy": q_rel_class_entropy,
-        "text_quality": q_text_quality,
         "quality_score": q_quality_score,
         "curation_pipeline": q_curation_pipeline,
         "para_dedup": q_para_dedup,
@@ -1625,8 +1633,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # invariant CSLS means, size-gated dictionary broadcasts) -----------
         "url_canonical": q_url_canonical,
         "dict_encode_triples": q_dict_encode_triples,
-        # --- first-ever oracled driver check (oracle added this round) -----
+        # --- first-ever oracled driver checks (added this round; span_dedup
+        # displaces text_quality to the pool — its family stays anchored by
+        # quality_score + curation_pipeline) --------------------------------
         "alignment_eval": q_alignment_eval,
+        "span_dedup": q_span_dedup,
         # --- keep-green anchors: one per SURVEY-§2 family (triple_pr is
         # the north-rule P/R evidence row and never rotates out) ------------
         "triple_pr": q_triple_pr,
@@ -1651,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== position 50: driver window ends here ========================
         # r4-green rotation pool (code unchanged since its green row;
         # rotates back next round per the policy above):
+        "text_quality": q_text_quality,
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
         "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -2362,6 +2374,50 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        round(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
 FROM hs JOIN crossdoc USING (hh)
 GROUP BY doc_id
+"""
+
+    # substring-span dedup: overlapping 8-gram start positions via a
+    # struct list comprehension (no lateral generate_series in DuckDB),
+    # corpus-wide occurrence counts, then the same running-max(pos+k)
+    # window interval merge as the Spark plan. dup_ppm stays in integer
+    # arithmetic (// not /), so there is no float rounding to diverge.
+    sql["span_dedup"] = f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens, greatest(0, len(t) - 7) AS n_grams, t FROM toks
+),
+grams AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'g': array_to_string(t[i + 1:i + 8], ' ')}}
+                 for i in range(0, greatest(0, len(t) - 7))]) AS u
+  FROM base
+),
+occ AS (SELECT doc_id, u.pos AS pos, {H("u.g")} AS gh FROM grams),
+dups AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+dup AS (SELECT occ.* FROM occ JOIN dups USING (gh)),
+cov AS (
+  SELECT doc_id, pos,
+         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dup
+),
+perdoc AS (
+  SELECT doc_id,
+         count(*) AS n_dup_grams,
+         sum(pos + 8 - greatest(pos, coalesce(prev_end, 0))) AS dup_tokens,
+         sum(CASE WHEN prev_end IS NULL OR prev_end < pos THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM cov GROUP BY doc_id
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(CASE WHEN b.n_tokens > 0
+                 THEN coalesce(p.dup_tokens, 0) * 1000000 // b.n_tokens
+                 ELSE 0 END AS BIGINT) AS dup_ppm,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+FROM base b LEFT JOIN perdoc p USING (doc_id)
 """
 
     sql["dedup_incremental"] = f"""
