@@ -1517,6 +1517,57 @@ def q_ann_ivf_top1(spark, sf_dir):
     return SJ.ivf_topk_join(left, right, cents, k=1).select("lid", "rid", "sim")
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN approximation-quality measurement ("measure, don't guess"):
+    recall@1 of the IVF cell-bucketed scale path vs the exact blocked
+    top-1 on the same even-vs-odd query/corpus split. One aggregate row
+    [n_queries, n_answered, n_top1_match, recall_ppm]; recall_ppm stays
+    in integer arithmetic so the oracle matches exactly. At 100 TB the
+    exact side runs on a sampled query subset — the composition shape
+    (left join on query id + integer aggregate) is unchanged.
+
+    Measured: recall@1 ~= 0.24-0.28 on the synthetic embeddings — near-
+    orthogonal random vectors don't cluster, so a single-probe coarse
+    cell rarely holds the true top-1. That low number is the honest
+    face of nprobe=1 IVF on unclustered data (and the motivation for
+    the data-adaptive kmeans quantizer and multi-probe in production);
+    the query exists precisely to surface it instead of guessing."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    exact = SJ.blocked_topk_join(left, right, k=1, metric="cosine").select(
+        "lid", F.col("rid").alias("exact_rid")
+    )
+    ivf = SJ.ivf_topk_join(left, right, cents, k=1).select(
+        "lid", F.col("rid").alias("ivf_rid")
+    )
+    return (
+        exact.join(ivf, "lid", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.count("ivf_rid").cast("long").alias("n_answered"),
+            F.sum(
+                F.when(F.col("ivf_rid") == F.col("exact_rid"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_top1_match"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(n_top1_match * 1000000 DIV n_queries AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 def q_alignment_hits(spark, sf_dir):
     """E1-E8 + V2/V4/V5/A7 end-to-end: OntoEA-style joint embedding
     training on the deterministic D-W-15K-style synthetic benchmark, then
@@ -1609,7 +1660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word2vec_parse": q_word2vec_parse,
         "neg_sample_antijoin": q_neg_sample_antijoin,
         "ann_topk_euclidean": q_ann_topk_euclidean,
-        "ann_topk_manhattan": q_ann_topk_manhattan,
         "ann_lsh_top1": q_ann_lsh_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
         "dedup_embedding": q_dedup_embedding,
@@ -1638,6 +1688,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_score + curation_pipeline) --------------------------------
         "alignment_eval": q_alignment_eval,
         "span_dedup": q_span_dedup,
+        # ann_recall (exact-vs-IVF recall@1 measurement) displaces
+        # ann_topk_manhattan — V1 metrics stay anchored by ann_topk +
+        # ann_topk_euclidean in-window
+        "ann_recall": q_ann_recall,
         # --- keep-green anchors: one per SURVEY-§2 family (triple_pr is
         # the north-rule P/R evidence row and never rotates out) ------------
         "triple_pr": q_triple_pr,
@@ -1663,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-green rotation pool (code unchanged since its green row;
         # rotates back next round per the policy above):
         "text_quality": q_text_quality,
+        "ann_topk_manhattan": q_ann_topk_manhattan,
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
         "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -3282,6 +3337,56 @@ irk AS (
   FROM icand
 )
 SELECT lid, rid, sim FROM irk WHERE rn = 1
+"""
+
+    # ann_recall: the exact-vs-IVF composition — the exact arm is the
+    # ann_topk shape restricted to top-1 on the even/odd split, the IVF
+    # arm is the ann_ivf_top1 oracle verbatim, fused by a left join on
+    # the query id into one integer-arithmetic aggregate row
+    sql["ann_recall"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id AS lid, b.vec_id AS rid,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+),
+ex AS (
+  SELECT lid, rid AS exact_rid FROM (
+    SELECT lid, rid, row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+    FROM s
+  ) WHERE rn = 1
+),
+assign AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(list_sum([ (v[i]-cvec[i])*(v[i]-cvec[i]) for i in range(1, len(v)+1)]), 9) ASC,
+                    cid ASC
+         ) AS rn
+  FROM pts CROSS JOIN cents
+),
+al AS (SELECT vec_id AS lid, v, cid FROM assign WHERE rn = 1 AND vec_id % 2 = 0),
+ar AS (SELECT vec_id AS rid, v, cid FROM assign WHERE rn = 1 AND vec_id % 2 = 1),
+icand AS (
+  SELECT lid, rid, round(list_cosine_similarity(al.v, ar.v), 6) AS sim
+  FROM al JOIN ar USING (cid)
+),
+ivf AS (
+  SELECT lid, rid AS ivf_rid FROM (
+    SELECT lid, rid, row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+    FROM icand
+  ) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(ivf_rid) AS BIGINT) AS n_answered,
+       CAST(sum(CASE WHEN ivf_rid = exact_rid THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
+       CAST(sum(CASE WHEN ivf_rid = exact_rid THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+FROM ex LEFT JOIN ivf USING (lid)
 """
 
     # ann_ivf_kmeans_top1: full replay of the trained quantizer. The
