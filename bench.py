@@ -135,6 +135,7 @@ def bench_queries(spark, sf_dir: str, runs: int = 3) -> tuple[dict[str, float], 
         "csls_top1",
         "hits_metrics",
         "para_dedup",
+        "span_dedup",
         "curation_pipeline",
     ]
     out: dict[str, float] = {}
