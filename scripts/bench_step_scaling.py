@@ -22,7 +22,8 @@ slice mode's flat-wall/driver-bounded profile.
 
 Usage:  python scripts/bench_step_scaling.py   [prints one JSON line]
 Env:    STEP_SCALING_SIZES (comma ints), STEP_SCALING_STEPS,
-        STEP_SCALING_CPUS, STEP_SCALING_MODE (slice|store)
+        STEP_SCALING_CPUS, STEP_SCALING_MODE (slice|store),
+        STEP_SCALING_DIM (default 32; 300 = the reference width)
 """
 
 from __future__ import annotations
@@ -52,7 +53,8 @@ def main() -> None:
     n_steps = int(os.environ.get("STEP_SCALING_STEPS", "5"))
     cpus = os.environ.get("STEP_SCALING_CPUS", "16")
     mode = os.environ.get("STEP_SCALING_MODE", "slice")
-    batch, dim, n_rel = 8192, 32, 64
+    batch, n_rel = 8192, 64
+    dim = int(os.environ.get("STEP_SCALING_DIM", "32"))
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     spark = get_spark("bench-step-scaling", master=f"local[{cpus}]")
