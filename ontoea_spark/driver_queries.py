@@ -1517,6 +1517,30 @@ def q_ann_ivf_top1(spark, sf_dir):
     return SJ.ivf_topk_join(left, right, cents, k=1).select("lid", "rid", "sim")
 
 
+def q_ann_ivfpq_top1(spark, sf_dir):
+    """IVF-PQ ANN (FAISS IVFADC shape, raw-vector codes): per-subspace
+    codebooks trained by the deterministic distributed Lloyd's (m=4
+    subspaces x 16 dims, k=4 codes, 2 iterations, 9dp-pinned centroids),
+    corpus (odd ids) stored as 4 codes/vector, queries (even ids) scored
+    by asymmetric distance against every-50th-vector coarse cells. The
+    oracle replays codebook training as 4 parallel unrolled Lloyd's CTE
+    chains plus the encode/LUT/ADC algebra (operators/pq.py)."""
+    from ontoea_spark.operators.pq import ivfpq_topk_join, pq_train_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    books = pq_train_codebooks(pts, m=4, k=4, dim=64, n_iter=2)
+    left = pts.filter(F.col("id") % 2 == 0)
+    right = pts.filter(F.col("id") % 2 == 1)
+    return ivfpq_topk_join(left, right, cents, books, k=1, m=4, dim=64)
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN approximation-quality measurement ("measure, don't guess"):
     recall@1 of the IVF cell-bucketed scale path vs the exact blocked
@@ -1662,7 +1686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_euclidean": q_ann_topk_euclidean,
         "ann_lsh_top1": q_ann_lsh_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
-        "dedup_embedding": q_dedup_embedding,
         "salted_degree_join": q_salted_degree_join,
         "sup_triples_swap": q_sup_triples_swap,
         "rel_functionality": q_rel_functionality,
@@ -1692,6 +1715,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_topk_manhattan — V1 metrics stay anchored by ann_topk +
         # ann_topk_euclidean in-window
         "ann_recall": q_ann_recall,
+        # ann_ivfpq_top1 (PQ codebooks + ADC within IVF cells) displaces
+        # dedup_embedding — the dedup family keeps dedup_minhash,
+        # dedup_clusters and span_dedup in-window
+        "ann_ivfpq_top1": q_ann_ivfpq_top1,
         # --- keep-green anchors: one per SURVEY-§2 family (triple_pr is
         # the north-rule P/R evidence row and never rotates out) ------------
         "triple_pr": q_triple_pr,
@@ -1718,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates back next round per the policy above):
         "text_quality": q_text_quality,
         "ann_topk_manhattan": q_ann_topk_manhattan,
+        "dedup_embedding": q_dedup_embedding,
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
         "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -3388,6 +3416,127 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST(sum(CASE WHEN ivf_rid = exact_rid THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
 FROM ex LEFT JOIN ivf USING (lid)
 """
+
+    # ann_ivfpq_top1: full replay of IVF-PQ — four parallel unrolled
+    # Lloyd's chains (one per 16-dim subspace, k=4, 2 iterations,
+    # 9dp-pinned means), then encode (argmin d2@12dp, cid-asc ties),
+    # query LUT (d2@9dp), coarse cells (d2@9dp), and the ADC sum in
+    # FIXED subspace order via a CASE pivot (an unordered SUM over
+    # doubles would be engine-dependent). Every per-round CTE is
+    # MATERIALIZED — DuckDB 1.0 inlines plain CTEs per reference and an
+    # iterative chain expands exponentially otherwise.
+    _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS = 4, 16, 4, 2
+    pq_parts = [
+        """
+pts AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+pqix AS (SELECT unnest(range(1, %d)) AS i),
+cents AS (SELECT vec_id AS cid, v AS cvec FROM pts WHERE vec_id %% 50 = 0),
+cell AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT p.vec_id, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY round(list_sum([(p.v[i]-c.cvec[i])*(p.v[i]-c.cvec[i])
+                                      for i in range(1, len(p.v)+1)]), 9) ASC,
+                      c.cid ASC) AS rn
+    FROM pts p CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+        % (_PQ_SUB + 1)
+    ]
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        pq_parts.append(
+            f"""
+sv{j} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v FROM pts),
+c{j}_0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY h, sid) - 1 AS cid, cvec FROM (
+    SELECT vec_id AS sid, v AS cvec, {H('CAST(vec_id AS VARCHAR)')} AS h
+    FROM sv{j} ORDER BY h, sid LIMIT {_PQ_K}
+  )
+)"""
+        )
+        for it in range(1, _PQ_ITERS + 1):
+            pq_parts.append(
+                f"""
+a{j}_{it} AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT p.vec_id, p.v, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY round(list_sum([(p.v[i]-c.cvec[i])*(p.v[i]-c.cvec[i])
+                                      for i in range(1, len(p.v)+1)]), 12) ASC,
+                      c.cid ASC) AS rn
+    FROM sv{j} p CROSS JOIN c{j}_{it - 1} c
+  ) WHERE rn = 1
+),
+m{j}_{it} AS MATERIALIZED (
+  SELECT cid, i, round(avg(v[i]), 9) AS m
+  FROM a{j}_{it}, pqix GROUP BY cid, i
+),
+c{j}_{it} AS MATERIALIZED (
+  SELECT c{j}_{it - 1}.cid, coalesce(n.cvec, c{j}_{it - 1}.cvec) AS cvec
+  FROM c{j}_{it - 1} LEFT JOIN
+    (SELECT cid, list(m ORDER BY i) AS cvec FROM m{j}_{it} GROUP BY cid) n
+  USING (cid)
+)"""
+            )
+    _pq_codes_arms = "\n  UNION ALL\n".join(
+        f"""  SELECT vec_id, {j} AS j, cid AS code FROM (
+    SELECT s.vec_id, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY round(list_sum([(s.v[i]-c.cvec[i])*(s.v[i]-c.cvec[i])
+                                      for i in range(1, len(s.v)+1)]), 12) ASC,
+                      c.cid ASC) AS rn
+    FROM sv{j} s CROSS JOIN c{j}_{_PQ_ITERS} c WHERE s.vec_id % 2 = 1
+  ) WHERE rn = 1"""
+        for j in range(_PQ_M)
+    )
+    _pq_lut_arms = "\n  UNION ALL\n".join(
+        f"""  SELECT s.vec_id AS lid, {j} AS j, c.cid AS code,
+         round(list_sum([(s.v[i]-c.cvec[i])*(s.v[i]-c.cvec[i])
+                         for i in range(1, len(s.v)+1)]), 9) AS ld2
+  FROM sv{j} s CROSS JOIN c{j}_{_PQ_ITERS} c WHERE s.vec_id % 2 = 0"""
+        for j in range(_PQ_M)
+    )
+    _pq_pivot = ", ".join(
+        f"max(CASE WHEN lut.j = {j} THEN ld2 END) AS d{j}" for j in range(_PQ_M)
+    )
+    _pq_sum = " + ".join(f"d{j}" for j in range(_PQ_M))
+    pq_parts.append(
+        f"""
+codes AS MATERIALIZED (
+{_pq_codes_arms}
+),
+lut AS MATERIALIZED (
+{_pq_lut_arms}
+),
+cand AS (
+  SELECT l.vec_id AS lid, r.vec_id AS rid
+  FROM cell l JOIN cell r ON l.cell = r.cell
+  WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 = 1
+),
+pqwide AS (
+  SELECT cand.lid, cand.rid, {_pq_pivot}
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.rid
+  JOIN lut ON lut.lid = cand.lid AND lut.j = codes.j AND lut.code = codes.code
+  GROUP BY cand.lid, cand.rid
+),
+pqscored AS (SELECT lid, rid, round({_pq_sum}, 6) AS adc_d2 FROM pqwide)"""
+    )
+    sql["ann_ivfpq_top1"] = (
+        "WITH "
+        + ",".join(pq_parts)
+        + """
+SELECT lid, rid, adc_d2 FROM (
+  SELECT lid, rid, adc_d2,
+         row_number() OVER (PARTITION BY lid ORDER BY adc_d2 ASC, rid ASC) AS rn
+  FROM pqscored
+) WHERE rn = 1
+"""
+    )
 
     # ann_ivf_kmeans_top1: full replay of the trained quantizer. The
     # query fixes (k=8, n_iter=3, round_to=9), so Lloyd's unrolls into

@@ -1,0 +1,203 @@
+"""Product quantization (PQ) for ANN at memory scale — deterministic
+end to end, composed with the IVF coarse quantizer into the classic
+IVF-PQ (FAISS "IVFADC") search shape.
+
+Why PQ at 100 TB: an exact corpus of 10^10 x dim-300 float64 vectors is
+~24 TB of RAM-resident scan per query batch; PQ stores m small codes per
+vector (here m codes into k-entry per-subspace codebooks — m*log2(k)
+bits, a 100-1000x compression) and scores queries against codes with an
+asymmetric distance computation (ADC): the query's exact subvectors
+against the corpus's quantized cells, m table lookups + adds per
+candidate instead of dim multiplies.
+
+Deviation from FAISS IVFADC, documented: codes quantize the RAW vectors,
+not the residuals (v - coarse_centroid). Residual encoding is one
+broadcast subtract before :func:`pq_train_codebooks` / :func:`pq_encode`
+and changes nothing structural; raw-vector PQ keeps the oracle replay
+independent of the coarse stage.
+
+Everything is deterministic and DuckDB-replayable: per-subspace
+codebooks via :func:`ontoea_spark.operators.kmeans.kmeans_fit` (hash-
+seeded init, fixed iterations, per-iteration ``round_to`` pinning),
+code assignment argmin by (round(d2,12), cid), ADC from 9dp-rounded
+per-subspace lookup entries summed in fixed subspace order.
+
+Scale shape: codebooks are m*k rows (collected — they must broadcast
+anyway); encoding is one broadcast join + per-(id, subspace) argmin;
+candidate generation is the IVF cell equi-join (never all-pairs); ADC
+scoring joins candidates to the corpus code table on (rid) and to the
+query LUT on (lid, subspace, code) — all equi-joins on bounded keys, no
+collect of anything O(corpus).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ontoea_spark.operators.kmeans import _d2, kmeans_fit
+
+
+def subvectors(
+    emb: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """DataFrame[id, j, sv]: the vector split into ``m`` contiguous
+    ``dim/m``-wide subspaces (j = 0..m-1). ``dim`` must divide evenly —
+    mis-sliced subspaces would silently degrade recall, so raise."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias(
+                    "sv"
+                ),
+            )
+            for j in range(m)
+        ]
+    )
+    return emb.select(
+        F.col(id_col).cast("long").alias("id"), F.explode(pairs).alias("p")
+    ).select("id", F.col("p.j").alias("j"), F.col("p.sv").alias("sv"))
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int,
+    k: int,
+    dim: int,
+    n_iter: int = 2,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Train one ``k``-entry codebook per subspace with the deterministic
+    distributed Lloyd's. Returns DataFrame[j, cid, cvec] (m*k rows —
+    driver-resident by necessity: every scoring step broadcasts it)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    spark = emb.sparkSession
+    books = []
+    for j in range(m):
+        sv = emb.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias(
+                "vec"
+            ),
+        )
+        cb = kmeans_fit(sv, k, n_iter=n_iter, round_to=round_to)
+        books.append(cb.select(F.lit(j).cast("int").alias("j"), "cid", "cvec"))
+    return reduce(DataFrame.unionByName, books)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Assign each subspace its nearest codebook entry: DataFrame[id, j,
+    code]. Argmin by (round(d2, 12), cid) — the assign_cells tie-break,
+    partition-layout-independent."""
+    sv = subvectors(emb, m, dim, id_col, vec_col)
+    scored = sv.join(F.broadcast(codebooks), "j").withColumn(
+        "d2", F.round(_d2("sv", "cvec"), 12)
+    )
+    best = scored.groupBy("id", "j").agg(F.min(F.struct("d2", "cid")).alias("b"))
+    return best.select("id", "j", F.col("b.cid").cast("int").alias("code"))
+
+
+def ivfpq_topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    m: int,
+    dim: int,
+    left_id: str = "id",
+    left_vec: str = "vec",
+    right_id: str = "id",
+    right_vec: str = "vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ top-k: coarse centroid cells prune candidates (the IVF
+    equi-join — identical cell assignment to
+    :func:`ontoea_spark.operators.simjoin.ivf_topk_join`), then PQ ADC
+    ranks survivors: the corpus side is represented ONLY by its m codes,
+    the query side by its per-subspace lookup table against the
+    codebooks. Returns DataFrame[lid, rid, adc_d2] (ascending distance
+    top-k per lid, ties rid asc).
+
+    ADC determinism: each (query, subspace, code) lookup distance is
+    rounded to 9dp; the m per-subspace terms are summed in fixed
+    subspace order (conditional-aggregation pivot, not an unordered
+    SUM), and the total is rounded to ``round_to`` — bit-reproducible
+    in any engine."""
+    lv = left.select(
+        F.col(left_id).cast("long").alias("id"),
+        F.col(left_vec).cast("array<double>").alias("vec"),
+    )
+    rv = right.select(
+        F.col(right_id).cast("long").alias("id"),
+        F.col(right_vec).cast("array<double>").alias("vec"),
+    )
+    cents = F.broadcast(centroids)
+
+    def cell_of(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(cents).withColumn(
+            "cd2", F.round(_d2("vec", "cvec"), 9)
+        )
+        best = scored.groupBy("id").agg(F.min(F.struct("cd2", "cid")).alias("b"))
+        return best.select("id", F.col("b.cid").alias("cell"))
+
+    lcell = cell_of(lv)
+    rcell = cell_of(rv)
+
+    # corpus → m codes; queries → m*k LUT entries (exact subvector vs
+    # every codebook entry, 9dp) — the ADC asymmetric split
+    codes = pq_encode(rv, codebooks, m, dim)
+    lut = (
+        subvectors(lv, m, dim)
+        .join(F.broadcast(codebooks), "j")
+        .select(
+            F.col("id").alias("lid"),
+            "j",
+            F.col("cid").cast("int").alias("code"),
+            F.round(_d2("sv", "cvec"), 9).alias("ld2"),
+        )
+    )
+
+    cand = (
+        lcell.select(F.col("id").alias("lid"), "cell")
+        .join(rcell.select(F.col("id").alias("rid"), "cell"), "cell")
+        .select("lid", "rid")
+    )
+    per_sub = cand.join(
+        codes.select(F.col("id").alias("rid"), "j", "code"), "rid"
+    ).join(lut, ["lid", "j", "code"])
+    # fixed-subspace-order sum: pivot the m terms wide, add left to right
+    pivots = [
+        F.max(F.when(F.col("j") == j, F.col("ld2"))).alias(f"d{j}")
+        for j in range(m)
+    ]
+    wide = per_sub.groupBy("lid", "rid").agg(*pivots)
+    adc = reduce(lambda a, b: a + b, [F.col(f"d{j}") for j in range(m)])
+    scored = wide.select("lid", "rid", F.round(adc, round_to).alias("adc_d2"))
+    w = Window.partitionBy("lid").orderBy(F.col("adc_d2").asc(), F.col("rid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
