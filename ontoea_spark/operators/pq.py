@@ -25,9 +25,12 @@ per-subspace lookup entries summed in fixed subspace order.
 Scale shape: codebooks are m*k rows (collected — they must broadcast
 anyway); encoding is one broadcast join + per-(id, subspace) argmin;
 candidate generation is the IVF cell equi-join (never all-pairs); ADC
-scoring joins candidates to the corpus code table on (rid) and to the
-query LUT on (lid, subspace, code) — all equi-joins on bounded keys, no
-collect of anything O(corpus).
+scoring joins candidates to ONE code-array row per corpus vector and
+ONE lut-array row per query, then computes the distance as a static
+m-term ``element_at`` sum — a pure whole-stage-codegen projection with
+no per-(pair, subspace) shuffle (a pivot-based form would shuffle
+candidates x m rows through a groupBy; the array form shuffles only the
+linear-size code/LUT tables, once). Nothing O(corpus) collects.
 """
 
 from __future__ import annotations
@@ -142,9 +145,10 @@ def ivfpq_topk_join(
 
     ADC determinism: each (query, subspace, code) lookup distance is
     rounded to 9dp; the m per-subspace terms are summed in fixed
-    subspace order (conditional-aggregation pivot, not an unordered
-    SUM), and the total is rounded to ``round_to`` — bit-reproducible
-    in any engine."""
+    subspace order (a static left-to-right ``element_at`` expression,
+    not an unordered SUM), and the total is rounded to ``round_to`` —
+    bit-reproducible in any engine (the oracle's CASE-pivot sum adds
+    the same 9dp values in the same j order)."""
     lv = left.select(
         F.col(left_id).cast("long").alias("id"),
         F.col(left_vec).cast("array<double>").alias("vec"),
@@ -165,18 +169,32 @@ def ivfpq_topk_join(
     lcell = cell_of(lv)
     rcell = cell_of(rv)
 
-    # corpus → m codes; queries → m*k LUT entries (exact subvector vs
-    # every codebook entry, 9dp) — the ADC asymmetric split
-    codes = pq_encode(rv, codebooks, m, dim)
+    # corpus → ONE array of m codes per rid; queries → ONE positional
+    # lut array of m*k 9dp entries per lid (index j*k + code) — the ADC
+    # asymmetric split, one linear-size shuffle each, built once
+    k_codes = codebooks.groupBy().agg(F.countDistinct("cid")).first()[0]
+    codes = (
+        pq_encode(rv, codebooks, m, dim)
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("j", "code"))).alias("s")
+        )
+        .select(
+            F.col("id").alias("rid"),
+            F.transform("s", lambda e: e["code"]).alias("codes"),
+        )
+    )
     lut = (
         subvectors(lv, m, dim)
         .join(F.broadcast(codebooks), "j")
         .select(
             F.col("id").alias("lid"),
-            "j",
-            F.col("cid").cast("int").alias("code"),
+            (F.col("j") * k_codes + F.col("cid")).cast("int").alias("pos"),
             F.round(_d2("sv", "cvec"), 9).alias("ld2"),
         )
+        .groupBy("lid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "ld2"))).alias("s"))
+        .select("lid", F.transform("s", lambda e: e["ld2"]).alias("lut"))
     )
 
     cand = (
@@ -184,17 +202,22 @@ def ivfpq_topk_join(
         .join(rcell.select(F.col("id").alias("rid"), "cell"), "cell")
         .select("lid", "rid")
     )
-    per_sub = cand.join(
-        codes.select(F.col("id").alias("rid"), "j", "code"), "rid"
-    ).join(lut, ["lid", "j", "code"])
-    # fixed-subspace-order sum: pivot the m terms wide, add left to right
-    pivots = [
-        F.max(F.when(F.col("j") == j, F.col("ld2"))).alias(f"d{j}")
-        for j in range(m)
-    ]
-    wide = per_sub.groupBy("lid", "rid").agg(*pivots)
-    adc = reduce(lambda a, b: a + b, [F.col(f"d{j}") for j in range(m)])
-    scored = wide.select("lid", "rid", F.round(adc, round_to).alias("adc_d2"))
+    # fixed-subspace-order sum as a static projection: lut is 1-indexed,
+    # entry for (j, code) sits at j*k + code + 1 — no per-pair shuffle
+    adc = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                "lut", (F.lit(j * k_codes) + F.element_at("codes", j + 1) + 1)
+            )
+            for j in range(m)
+        ],
+    )
+    scored = (
+        cand.join(codes, "rid")
+        .join(lut, "lid")
+        .select("lid", "rid", F.round(adc, round_to).alias("adc_d2"))
+    )
     w = Window.partitionBy("lid").orderBy(F.col("adc_d2").asc(), F.col("rid").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))

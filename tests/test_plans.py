@@ -52,6 +52,27 @@ def test_lsh_topk_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_ivfpq_scoring_is_projection_not_pivot(spark):
+    """IVF-PQ ADC scoring must be a static element_at projection over the
+    candidate equi-join — no CartesianProduct anywhere, and no aggregate
+    ON THE CANDIDATE PAIRS (the pivot regression would shuffle
+    candidates x m rows through a groupBy(lid, rid))."""
+    from ontoea_spark import driver_queries as DQ
+
+    df = DQ.queries()["ann_ivfpq_top1"](spark, SF_CORRECT)
+    plan = _plan(df)
+    # BroadcastNestedLoopJoin appears ONLY as the bounded centroid
+    # fan-out (same shape as ivf_topk_join: n_rows x n_cells against a
+    # broadcast side); a row-level cartesian would print CartesianProduct
+    assert "CartesianProduct" not in plan, plan
+    # every HashAggregate keys on a single id (cells/codes/lut builds);
+    # a pair-keyed aggregate would print both lid and rid in its keys
+    import re
+
+    for keys in re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        assert not ("lid" in keys and "rid" in keys), keys
+
+
 def test_source_cap_first_window_is_salt_partitioned(spark):
     """The stratified cap's first window must partition by (source, salt)
     so a hot domain never lands in a single window task; the final
