@@ -10,11 +10,13 @@ asymmetric distance computation (ADC): the query's exact subvectors
 against the corpus's quantized cells, m table lookups + adds per
 candidate instead of dim multiplies.
 
-Deviation from FAISS IVFADC, documented: codes quantize the RAW vectors,
-not the residuals (v - coarse_centroid). Residual encoding is one
-broadcast subtract before :func:`pq_train_codebooks` / :func:`pq_encode`
-and changes nothing structural; raw-vector PQ keeps the oracle replay
-independent of the coarse stage.
+Residual encoding (the faithful FAISS IVFADC, codes quantizing
+``v - coarse_centroid``) is available via ``residual=True`` on
+:func:`ivfpq_topk_join` + :func:`residualize` for codebook training,
+golden-tested against an independent NumPy transcription. The driver
+query keeps ``residual=False`` (raw-vector codes) so the DuckDB oracle
+replay stays independent of the coarse stage — a documented deviation
+of the ORACLED configuration only, not of the operator surface.
 
 Everything is deterministic and DuckDB-replayable: per-subspace
 codebooks via :func:`ontoea_spark.operators.kmeans.kmeans_fit` (hash-
@@ -121,6 +123,28 @@ def pq_encode(
     return best.select("id", "j", F.col("b.cid").cast("int").alias("code"))
 
 
+def residualize(
+    df: DataFrame,
+    cells: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Replace each vector with its coarse residual ``v - centroid[cell]``
+    (the FAISS IVFADC encoding input). ``cells``: DataFrame[id, cell];
+    ``centroids``: DataFrame[cid, cvec] (broadcast — small by contract).
+    Elementwise double subtraction — exact, engine-independent."""
+    return (
+        df.join(cells, df[id_col] == cells["id"], "inner")
+        .drop(cells["id"])
+        .join(F.broadcast(centroids), F.col("cell") == F.col("cid"))
+        .select(
+            F.col(id_col),
+            F.zip_with(vec_col, "cvec", lambda a, b: a - b).alias(vec_col),
+        )
+    )
+
+
 def ivfpq_topk_join(
     left: DataFrame,
     right: DataFrame,
@@ -134,6 +158,7 @@ def ivfpq_topk_join(
     right_id: str = "id",
     right_vec: str = "vec",
     round_to: int = 6,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ top-k: coarse centroid cells prune candidates (the IVF
     equi-join — identical cell assignment to
@@ -142,6 +167,14 @@ def ivfpq_topk_join(
     the query side by its per-subspace lookup table against the
     codebooks. Returns DataFrame[lid, rid, adc_d2] (ascending distance
     top-k per lid, ties rid asc).
+
+    ``residual=True`` is the faithful FAISS IVFADC: codes quantize the
+    coarse residual ``v - centroid[cell]`` and the query LUT is built
+    from the query's own residual (exact under nprobe=1 — every
+    candidate shares the query's cell, so both residuals subtract the
+    SAME centroid and the residual ADC equals the raw ADC up to PQ
+    quantization error). Pass codebooks trained on residualized input
+    (:func:`residualize`) for a coherent quantizer.
 
     ADC determinism: each (query, subspace, code) lookup distance is
     rounded to 9dp; the m per-subspace terms are summed in fixed
@@ -168,6 +201,10 @@ def ivfpq_topk_join(
 
     lcell = cell_of(lv)
     rcell = cell_of(rv)
+
+    if residual:
+        rv = residualize(rv, rcell, centroids)
+        lv = residualize(lv, lcell, centroids)
 
     # corpus → ONE array of m codes per rid; queries → ONE positional
     # lut array of m*k 9dp entries per lid (index j*k + code) — the ADC

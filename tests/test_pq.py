@@ -116,6 +116,109 @@ def test_ivfpq_top1_matches_numpy(spark):
     assert len(got) > 0
 
 
+def _numpy_residual_top1(pts, ids, m, sub, k_codes, n_iter, cent_ids):
+    """Faithful IVFADC: codebooks trained on coarse residuals, corpus
+    codes and query LUT both from residuals w.r.t. each vector's own
+    cell (exact under nprobe=1)."""
+    cents = {cid: pts[list(ids).index(cid)] for cid in cent_ids}
+
+    def cell(v):
+        scored = sorted(
+            (np.round(((v - cv) ** 2).sum(), 9), cid) for cid, cv in cents.items()
+        )
+        return scored[0][1]
+
+    res = np.stack([pts[n] - cents[cell(pts[n])] for n in range(len(ids))])
+    books = [
+        _numpy_kmeans(res[:, j * sub : (j + 1) * sub], ids, k_codes, n_iter, 9)
+        for j in range(m)
+    ]
+
+    def codes(v):
+        out = []
+        for j in range(m):
+            svec = v[j * sub : (j + 1) * sub]
+            d2 = np.round(((books[j] - svec) ** 2).sum(axis=1), 12)
+            out.append(int(np.argmin(d2)))
+        return out
+
+    left = [(i, n) for n, i in enumerate(ids) if i % 2 == 0]
+    right = [(i, n) for n, i in enumerate(ids) if i % 2 == 1]
+    rcodes = {i: codes(res[n]) for i, n in right}
+    rcell = {i: cell(pts[n]) for i, n in right}
+    expect = {}
+    for lid, ln in left:
+        lcell = cell(pts[ln])
+        best = None
+        for rid, _rn in right:
+            if rcell[rid] != lcell:
+                continue
+            adc = 0.0
+            for j in range(m):
+                svec = res[ln][j * sub : (j + 1) * sub]
+                cv = books[j][rcodes[rid][j]]
+                adc += np.round(((svec - cv) ** 2).sum(), 9)
+            adc = np.round(adc, 6)
+            key = (adc, rid)
+            if best is None or key < best:
+                best = key
+        if best is not None:
+            expect[lid] = (best[1], best[0])
+    return expect
+
+
+def test_ivfpq_residual_matches_numpy(spark):
+    """residual=True (faithful FAISS IVFADC) against an independent NumPy
+    transcription — codebooks trained on residualized input."""
+    from pyspark.sql import functions as F
+
+    from ontoea_spark.operators.pq import (
+        ivfpq_topk_join,
+        pq_train_codebooks,
+        residualize,
+    )
+
+    pts, ids, emb, cent_ids, cents = _fixture(spark)
+    m, sub, k_codes, n_iter = 2, 4, 3, 2
+
+    # train codebooks on coarse residuals (vector minus own-cell centroid)
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "cd2",
+        F.round(
+            F.aggregate(
+                F.zip_with("vec", "cvec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ),
+    )
+    cells = (
+        scored.groupBy("id")
+        .agg(F.min(F.struct("cd2", "cid")).alias("b"))
+        .select("id", F.col("b.cid").alias("cell"))
+    )
+    res_emb = residualize(emb, cells, cents)
+    books = pq_train_codebooks(res_emb, m=m, k=k_codes, dim=8, n_iter=n_iter)
+
+    got = {
+        r.lid: (r.rid, r.adc_d2)
+        for r in ivfpq_topk_join(
+            emb.filter(F.col("id") % 2 == 0),
+            emb.filter(F.col("id") % 2 == 1),
+            cents,
+            books,
+            k=1,
+            m=m,
+            dim=8,
+            residual=True,
+        ).collect()
+    }
+    want = _numpy_residual_top1(pts, ids, m, sub, k_codes, n_iter, cent_ids)
+    assert got == want
+    assert len(got) > 0
+
+
 def test_ivfpq_partition_invariant(spark):
     from pyspark.sql import functions as F
 
