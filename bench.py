@@ -132,6 +132,7 @@ def bench_queries(spark, sf_dir: str, runs: int = 3) -> tuple[dict[str, float], 
         "repetition",
         "contamination",
         "ann_topk",
+        "ann_ivfpq_top1",
         "csls_top1",
         "hits_metrics",
         "para_dedup",
