@@ -320,11 +320,19 @@ def ivf_topk_join(
     right_id: str = "id",
     right_vec: str = "vec",
     round_to: int | None = 6,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: both sides are assigned to their nearest centroid
     (coarse quantizer; deterministic argmin by (L2 asc, centroid id asc)),
     candidates share a centroid cell, exact cosine re-ranks within the
     cell. centroids: DataFrame[cid, cvec].
+
+    ``nprobe``: the query (left) side probes its ``nprobe`` nearest
+    cells instead of one — the standard IVF recall knob (corpus rows
+    stay indexed in exactly one cell, so a (lid, rid) pair still occurs
+    at most once and no dedup is needed). Candidate volume and recall
+    both scale ~linearly with nprobe; the recall-vs-nprobe curve is a
+    hash-checked driver row (``ann_recall_nprobe``), not a guess.
 
     At cluster scale the centroid table is broadcast (small) and the
     cell join is a shuffle hash join on cid — same shape as the LSH
@@ -332,7 +340,10 @@ def ivf_topk_join(
     """
     from ontoea_spark.functions.vectors import cosine, dot, l2_norm
 
-    def assign(df, id_col, vec_col, out_id):
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+
+    def assign(df, id_col, vec_col, out_id, n_cells=1):
         j = df.select(
             F.col(id_col).cast("long").alias(out_id),
             F.col(vec_col).alias("v"),
@@ -352,11 +363,13 @@ def ivf_topk_join(
         return (
             j.withColumn("d2", d2)
             .withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
+            .filter(F.col("rn") <= n_cells)
             .select(out_id, "v", "cid")
         )
 
-    l = assign(left, left_id, left_vec, "lid").withColumnRenamed("v", "lvec")
+    l = assign(left, left_id, left_vec, "lid", n_cells=nprobe).withColumnRenamed(
+        "v", "lvec"
+    )
     r = assign(right, right_id, right_vec, "rid").withColumnRenamed("v", "rvec")
     cand = l.join(r, "cid").select(
         "lid", "rid", cosine(F.col("lvec"), F.col("rvec")).alias("sim")

@@ -64,6 +64,37 @@ def test_blocked_topk_matches_bruteforce(spark, metric):
             assert got[(lid, rk)] == rid, (metric, lid, rk)
 
 
+def test_ivf_nprobe_all_cells_equals_exact(spark):
+    """With nprobe >= n_cells every query probes every cell, the
+    candidate set is all pairs, and IVF top-1 must equal the exact
+    blocked top-1 bit-for-bit — the degenerate-equality gate for the
+    multi-probe knob. Also pins monotonicity: answered queries never
+    decrease as nprobe grows."""
+    left_df, _ = _vec_df(spark, 20, seed=3)
+    right_df, _ = _vec_df(spark, 30, seed=4)
+    cents = right_df.filter(F.col("id") % 10 == 0).select(
+        F.col("id").alias("cid"), F.col("vec").alias("cvec")
+    )  # 3 cells
+    exact = {
+        r.lid: (r.rid, r.sim)
+        for r in SJ.blocked_topk_join(left_df, right_df, k=1).collect()
+    }
+    answered = []
+    for np_ in (1, 2, 3):
+        got = {
+            r.lid: (r.rid, r.sim)
+            for r in SJ.ivf_topk_join(
+                left_df, right_df, cents, k=1, nprobe=np_
+            ).collect()
+        }
+        answered.append(len(got))
+        if np_ >= 3:
+            assert got == exact
+    assert answered == sorted(answered)
+    with pytest.raises(ValueError, match="nprobe"):
+        SJ.ivf_topk_join(left_df, right_df, cents, k=1, nprobe=0)
+
+
 def test_csls_candidates_degenerate_equals_full(spark):
     """csls_candidate_scores with k_cand >= |right| must reproduce the
     full-matrix CSLS exactly (same pairs, same csls values) — the
