@@ -159,6 +159,7 @@ def ivfpq_topk_join(
     right_vec: str = "vec",
     round_to: int = 6,
     residual: bool = False,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-PQ top-k: coarse centroid cells prune candidates (the IVF
     equi-join — identical cell assignment to
@@ -168,13 +169,19 @@ def ivfpq_topk_join(
     codebooks. Returns DataFrame[lid, rid, adc_d2] (ascending distance
     top-k per lid, ties rid asc).
 
+    ``nprobe``: the query probes its ``nprobe`` nearest cells (the same
+    recall knob as :func:`~ontoea_spark.operators.simjoin.ivf_topk_join`
+    — corpus rows stay in one cell, so (lid, rid) pairs never repeat).
+    In raw mode the LUT is cell-independent and shared across probes;
+    in residual mode the LUT is built PER PROBED CELL (FAISS semantics:
+    the query residual subtracts the probed centroid, matching the
+    candidate's encoding basis), so LUT cost scales with nprobe.
+
     ``residual=True`` is the faithful FAISS IVFADC: codes quantize the
     coarse residual ``v - centroid[cell]`` and the query LUT is built
-    from the query's own residual (exact under nprobe=1 — every
-    candidate shares the query's cell, so both residuals subtract the
-    SAME centroid and the residual ADC equals the raw ADC up to PQ
-    quantization error). Pass codebooks trained on residualized input
-    (:func:`residualize`) for a coherent quantizer.
+    from the query's residual w.r.t. each probed cell. Pass codebooks
+    trained on residualized input (:func:`residualize`) for a coherent
+    quantizer.
 
     ADC determinism: each (query, subspace, code) lookup distance is
     rounded to 9dp; the m per-subspace terms are summed in fixed
@@ -182,6 +189,10 @@ def ivfpq_topk_join(
     not an unordered SUM), and the total is rounded to ``round_to`` —
     bit-reproducible in any engine (the oracle's CASE-pivot sum adds
     the same 9dp values in the same j order)."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     lv = left.select(
         F.col(left_id).cast("long").alias("id"),
         F.col(left_vec).cast("array<double>").alias("vec"),
@@ -192,23 +203,41 @@ def ivfpq_topk_join(
     )
     cents = F.broadcast(centroids)
 
-    def cell_of(df: DataFrame) -> DataFrame:
+    def cell_of(df: DataFrame, n_cells: int = 1) -> DataFrame:
         scored = df.crossJoin(cents).withColumn(
             "cd2", F.round(_d2("vec", "cvec"), 9)
         )
-        best = scored.groupBy("id").agg(F.min(F.struct("cd2", "cid")).alias("b"))
-        return best.select("id", F.col("b.cid").alias("cell"))
+        w = Window.partitionBy("id").orderBy(
+            F.col("cd2").asc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_cells)
+            .select("id", F.col("cid").alias("cell"))
+        )
 
-    lcell = cell_of(lv)
+    lcell = cell_of(lv, n_cells=nprobe)
     rcell = cell_of(rv)
 
     if residual:
         rv = residualize(rv, rcell, centroids)
-        lv = residualize(lv, lcell, centroids)
+        # query residual is PER PROBED CELL: (id, cell) keyed vectors
+        lvc = (
+            lv.join(lcell, "id")
+            .join(cents, F.col("cell") == F.col("cid"))
+            .select(
+                "id",
+                "cell",
+                F.zip_with("vec", "cvec", lambda a, b: a - b).alias("vec"),
+            )
+        )
+    else:
+        lvc = lv.join(lcell, "id").select("id", "cell", "vec")
 
     # corpus → ONE array of m codes per rid; queries → ONE positional
-    # lut array of m*k 9dp entries per lid (index j*k + code) — the ADC
-    # asymmetric split, one linear-size shuffle each, built once
+    # lut array of m*k 9dp entries per (lid, probed cell) — the ADC
+    # asymmetric split, one linear-size shuffle each, built once (in
+    # raw mode the per-cell LUTs are identical copies, nprobe of them)
     k_codes = codebooks.groupBy().agg(F.countDistinct("cid")).first()[0]
     codes = (
         pq_encode(rv, codebooks, m, dim)
@@ -221,23 +250,42 @@ def ivfpq_topk_join(
             F.transform("s", lambda e: e["code"]).alias("codes"),
         )
     )
+    sv = lvc.select(
+        F.col("id").cast("long").alias("id"),
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        F.slice(
+                            F.col("vec"), j * (dim // m) + 1, dim // m
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "cell", F.col("p.j").alias("j"), F.col("p.sv").alias("sv"))
     lut = (
-        subvectors(lv, m, dim)
-        .join(F.broadcast(codebooks), "j")
+        sv.join(F.broadcast(codebooks), "j")
         .select(
             F.col("id").alias("lid"),
+            "cell",
             (F.col("j") * k_codes + F.col("cid")).cast("int").alias("pos"),
             F.round(_d2("sv", "cvec"), 9).alias("ld2"),
         )
-        .groupBy("lid")
+        .groupBy("lid", "cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "ld2"))).alias("s"))
-        .select("lid", F.transform("s", lambda e: e["ld2"]).alias("lut"))
+        .select(
+            "lid", "cell", F.transform("s", lambda e: e["ld2"]).alias("lut")
+        )
     )
 
     cand = (
         lcell.select(F.col("id").alias("lid"), "cell")
         .join(rcell.select(F.col("id").alias("rid"), "cell"), "cell")
-        .select("lid", "rid")
+        .select("lid", "rid", "cell")
     )
     # fixed-subspace-order sum as a static projection: lut is 1-indexed,
     # entry for (j, code) sits at j*k + code + 1 — no per-pair shuffle
@@ -252,7 +300,7 @@ def ivfpq_topk_join(
     )
     scored = (
         cand.join(codes, "rid")
-        .join(lut, "lid")
+        .join(lut, ["lid", "cell"])
         .select("lid", "rid", F.round(adc, round_to).alias("adc_d2"))
     )
     w = Window.partitionBy("lid").orderBy(F.col("adc_d2").asc(), F.col("rid").asc())

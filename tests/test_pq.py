@@ -8,6 +8,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pytest
 
 
 def _phash(i: int) -> int:
@@ -116,17 +117,97 @@ def test_ivfpq_top1_matches_numpy(spark):
     assert len(got) > 0
 
 
-def _numpy_residual_top1(pts, ids, m, sub, k_codes, n_iter, cent_ids):
-    """Faithful IVFADC: codebooks trained on coarse residuals, corpus
-    codes and query LUT both from residuals w.r.t. each vector's own
-    cell (exact under nprobe=1)."""
+def _numpy_ivfpq_top1_nprobe(pts, ids, m, sub, k_codes, n_iter, cent_ids, nprobe):
+    """Raw-vector IVF-PQ with the query probing its nprobe nearest
+    cells; candidates are rids indexed in any probed cell."""
+    books = [
+        _numpy_kmeans(pts[:, j * sub : (j + 1) * sub], ids, k_codes, n_iter, 9)
+        for j in range(m)
+    ]
     cents = {cid: pts[list(ids).index(cid)] for cid in cent_ids}
 
-    def cell(v):
+    def cells(v, n):
         scored = sorted(
             (np.round(((v - cv) ** 2).sum(), 9), cid) for cid, cv in cents.items()
         )
-        return scored[0][1]
+        return [cid for _, cid in scored[:n]]
+
+    def codes(v):
+        out = []
+        for j in range(m):
+            svec = v[j * sub : (j + 1) * sub]
+            d2 = np.round(((books[j] - svec) ** 2).sum(axis=1), 12)
+            out.append(int(np.argmin(d2)))
+        return out
+
+    left = [(i, pts[n]) for n, i in enumerate(ids) if i % 2 == 0]
+    right = [(i, pts[n]) for n, i in enumerate(ids) if i % 2 == 1]
+    rcodes = {i: codes(v) for i, v in right}
+    rcell = {i: cells(v, 1)[0] for i, v in right}
+    expect = {}
+    for lid, lv in left:
+        probed = set(cells(lv, nprobe))
+        best = None
+        for rid, _rv in right:
+            if rcell[rid] not in probed:
+                continue
+            adc = 0.0
+            for j in range(m):
+                svec = lv[j * sub : (j + 1) * sub]
+                cv = books[j][rcodes[rid][j]]
+                adc += np.round(((svec - cv) ** 2).sum(), 9)
+            adc = np.round(adc, 6)
+            key = (adc, rid)
+            if best is None or key < best:
+                best = key
+        if best is not None:
+            expect[lid] = (best[1], best[0])
+    return expect
+
+
+def test_ivfpq_nprobe_matches_numpy(spark):
+    """Multi-probe raw-vector PQ vs the NumPy transcription, and the
+    answered-query count must be monotone in nprobe."""
+    from pyspark.sql import functions as F
+
+    from ontoea_spark.operators.pq import ivfpq_topk_join, pq_train_codebooks
+
+    pts, ids, emb, cent_ids, cents = _fixture(spark)
+    m, sub, k_codes, n_iter = 2, 4, 3, 2
+    books = pq_train_codebooks(emb, m=m, k=k_codes, dim=8, n_iter=n_iter)
+    left = emb.filter(F.col("id") % 2 == 0)
+    right = emb.filter(F.col("id") % 2 == 1)
+    answered = []
+    for np_ in (1, 2):
+        got = {
+            r.lid: (r.rid, r.adc_d2)
+            for r in ivfpq_topk_join(
+                left, right, cents, books, k=1, m=m, dim=8, nprobe=np_
+            ).collect()
+        }
+        want = _numpy_ivfpq_top1_nprobe(
+            pts, ids, m, sub, k_codes, n_iter, cent_ids, np_
+        )
+        assert got == want, np_
+        answered.append(len(got))
+    assert answered == sorted(answered)
+
+
+def _numpy_residual_top1(pts, ids, m, sub, k_codes, n_iter, cent_ids, nprobe=1):
+    """Faithful IVFADC: codebooks trained on coarse residuals, corpus
+    codes from residuals w.r.t. each corpus vector's own cell, query LUT
+    from the query's residual w.r.t. EACH PROBED CELL (= the candidate's
+    encoding basis)."""
+    cents = {cid: pts[list(ids).index(cid)] for cid in cent_ids}
+
+    def cells(v, n):
+        scored = sorted(
+            (np.round(((v - cv) ** 2).sum(), 9), cid) for cid, cv in cents.items()
+        )
+        return [cid for _, cid in scored[:n]]
+
+    def cell(v):
+        return cells(v, 1)[0]
 
     res = np.stack([pts[n] - cents[cell(pts[n])] for n in range(len(ids))])
     books = [
@@ -148,14 +229,17 @@ def _numpy_residual_top1(pts, ids, m, sub, k_codes, n_iter, cent_ids):
     rcell = {i: cell(pts[n]) for i, n in right}
     expect = {}
     for lid, ln in left:
-        lcell = cell(pts[ln])
+        probed = set(cells(pts[ln], nprobe))
         best = None
         for rid, _rn in right:
-            if rcell[rid] != lcell:
+            if rcell[rid] not in probed:
                 continue
+            # query residual w.r.t. the CANDIDATE's cell (its encoding
+            # basis) — equals the own-cell residual when nprobe == 1
+            lres = pts[ln] - cents[rcell[rid]]
             adc = 0.0
             for j in range(m):
-                svec = res[ln][j * sub : (j + 1) * sub]
+                svec = lres[j * sub : (j + 1) * sub]
                 cv = books[j][rcodes[rid][j]]
                 adc += np.round(((svec - cv) ** 2).sum(), 9)
             adc = np.round(adc, 6)
@@ -167,9 +251,12 @@ def _numpy_residual_top1(pts, ids, m, sub, k_codes, n_iter, cent_ids):
     return expect
 
 
-def test_ivfpq_residual_matches_numpy(spark):
+@pytest.mark.parametrize("nprobe", [1, 2])
+def test_ivfpq_residual_matches_numpy(spark, nprobe):
     """residual=True (faithful FAISS IVFADC) against an independent NumPy
-    transcription — codebooks trained on residualized input."""
+    transcription — codebooks trained on residualized input; at nprobe=2
+    the query LUT is rebuilt per probed cell (the candidate's encoding
+    basis)."""
     from pyspark.sql import functions as F
 
     from ontoea_spark.operators.pq import (
@@ -212,9 +299,12 @@ def test_ivfpq_residual_matches_numpy(spark):
             m=m,
             dim=8,
             residual=True,
+            nprobe=nprobe,
         ).collect()
     }
-    want = _numpy_residual_top1(pts, ids, m, sub, k_codes, n_iter, cent_ids)
+    want = _numpy_residual_top1(
+        pts, ids, m, sub, k_codes, n_iter, cent_ids, nprobe=nprobe
+    )
     assert got == want
     assert len(got) > 0
 
@@ -243,7 +333,6 @@ def test_ivfpq_partition_invariant(spark):
 
 
 def test_pq_validation(spark):
-    import pytest
 
     from ontoea_spark.operators.pq import pq_train_codebooks, subvectors
 
