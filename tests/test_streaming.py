@@ -131,3 +131,51 @@ def test_streaming_distinct_triples_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_kg_build_converges_to_batch(spark, tmp_path):
+    """The flagship pipeline as a stream: micro-batches of pages folded
+    into the persisted graph via incremental_update must converge to the
+    SAME URI-level edge set as the one-shot batch rebuild (ids differ by
+    arrival order — the documented incremental deviation), with multiple
+    snapshots actually committed and a drained re-run a no-op."""
+    from ontoea_spark.pipeline.kg_build import build_kg
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.streaming.kg_stream import (
+        _committed_versions,
+        decoded_edges,
+        read_kg_state,
+        streaming_kg_build,
+    )
+
+    pages = synthesize_pages(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    src = str(tmp_path / "pages_kg_stream")
+    pages.repartition(6).write.parquet(src)
+    state = str(tmp_path / "kg_state")
+    cp = str(tmp_path / "cp_kg")
+
+    streaming_kg_build(spark, src, state, cp, max_files_per_trigger=2)
+    versions = _committed_versions(state)
+    assert len(versions) >= 2, versions  # several micro-batches ran
+
+    ent, rel, edges = read_kg_state(spark, state)
+    got = {
+        (r.s, r.p, r.o, r.kg)
+        for r in decoded_edges(ent, rel, edges).collect()
+    }
+    batch = build_kg(pages)
+    want = {
+        (r.s, r.p, r.o, 1) for r in batch.triples1.distinct().collect()
+    } | {(r.s, r.p, r.o, 2) for r in batch.triples2.distinct().collect()}
+    assert got == want and len(got) > 0
+
+    # ids stay dense and unique per (kg): the frozen-append contract
+    n_ids = ent.count()
+    assert ent.select("kg", "id").distinct().count() == n_ids
+
+    # drained source + same checkpoint -> no new snapshot (resume is a
+    # no-op, not a replay of the world)
+    streaming_kg_build(spark, src, state, cp, max_files_per_trigger=2)
+    assert _committed_versions(state) == versions
