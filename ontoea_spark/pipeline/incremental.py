@@ -37,6 +37,9 @@ class IncrementalResult:
     ent_ids: DataFrame  # (kg, elem, freq, rank, id) — old rows untouched
     rel_ids: DataFrame
     edges: DataFrame    # (s_id, p_id, o_id, kg) — old ∪ newly encoded
+    # the O(delta) views, for append-only sinks (Iceberg appends / the
+    # streaming snapshot log): exactly the rows NOT already present
+    novel_edges: DataFrame | None = None
 
 
 def extend_dictionary(
@@ -150,4 +153,6 @@ def incremental_update(
     else:
         novel = delta_edges.join(edges.select(*key), on=key, how="left_anti")
     merged = edges.unionByName(novel)
-    return IncrementalResult(ent_ids=ent2, rel_ids=rel2, edges=merged)
+    return IncrementalResult(
+        ent_ids=ent2, rel_ids=rel2, edges=merged, novel_edges=novel
+    )

@@ -11,15 +11,20 @@ same URI-level graph as a one-shot batch rebuild over the same pages
 deviation from the batch interleave — but the decoded (s, p, o, kg)
 edge set is identical; asserted by tests/test_streaming.py).
 
-State layout (the Iceberg-snapshot analogue this sandbox can express in
-plain parquet): each micro-batch commits a full versioned snapshot
-``{state_dir}/v{batch_id}/{ent_ids,rel_ids,edges}`` and reads its input
-from the newest committed version below its own id. foreachBatch may
-REPLAY a batch after a crash; versioned dirs keyed by batch_id make the
-retry idempotent — a replayed batch re-reads the same parent snapshot
-and overwrites only its own version. At production scale each table is
-an Iceberg append/overwrite-by-snapshot instead of a parquet directory;
-nothing in the dataflow changes.
+State layout (the Iceberg-append analogue this sandbox can express in
+plain parquet): each micro-batch commits ONLY ITS DELTA —
+``{state_dir}/v{batch_id}/{ent_ids,rel_ids,edges}`` holds the NEW
+dictionary rows (ids above the parent's max — the frozen-append
+contract makes "new" a cheap id-range filter) and the NOVEL edges
+(``incremental_update`` already computes them for the anti-join merge).
+A batch's write cost is O(delta), never O(graph) — at 10^12 documents a
+full-table rewrite per micro-batch would be the scale killer. Reading
+state = union of committed deltas at or below a version (Iceberg's
+manifest-of-files, literally). foreachBatch may REPLAY a batch after a
+crash; delta dirs keyed by batch_id make the retry idempotent — a
+replayed batch re-reads deltas strictly below its own id and overwrites
+only its own. Long streams compact old deltas exactly as Iceberg
+compacts manifests; compaction changes file layout, not content.
 """
 
 from __future__ import annotations
@@ -58,18 +63,24 @@ def _committed_versions(state_dir: str) -> list[int]:
 def read_kg_state(
     spark, state_dir: str, before: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
-    """Latest committed (ent_ids, rel_ids, edges) snapshot, optionally
-    restricted to versions < ``before`` (a replaying batch must read its
-    PARENT snapshot, not its own half-committed one). None if no
-    snapshot exists yet."""
+    """(ent_ids, rel_ids, edges) as the UNION of committed deltas,
+    optionally restricted to versions < ``before`` (a replaying batch
+    must read strictly below its own id, never its own half-committed
+    delta). None if no snapshot exists yet. One multi-path parquet scan
+    per table — the union is file listing, not a shuffle."""
     versions = _committed_versions(state_dir)
     if before is not None:
         versions = [v for v in versions if v < before]
     if not versions:
         return None
-    base = os.path.join(state_dir, f"v{versions[-1]}")
     return tuple(
-        spark.read.parquet(os.path.join(base, t)) for t in _STATE_TABLES
+        spark.read.parquet(
+            *[
+                os.path.join(state_dir, f"v{v}", t)
+                for v in versions
+            ]
+        )
+        for t in _STATE_TABLES
     )
 
 
@@ -85,8 +96,11 @@ def ingest_pages_batch(
     pages: DataFrame, spark, state_dir: str, batch_id: int
 ) -> None:
     """The foreachBatch body: pages micro-batch -> triples -> incremental
-    merge -> versioned snapshot commit. Pure function of (parent
-    snapshot, batch rows), so a post-crash replay is idempotent."""
+    merge -> O(delta) versioned commit. Pure function of (parent deltas,
+    batch rows), so a post-crash replay is idempotent. Only the NEW
+    dictionary rows (id above the parent max — frozen-append makes that
+    a range filter) and the NOVEL edges are written; the graph itself is
+    never rewritten."""
     from ontoea_spark.pipeline.extract import extract_pages_text, extract_triples
     from ontoea_spark.pipeline.incremental import incremental_update
     from ontoea_spark.pipeline.kg_build import split_two_kgs
@@ -95,6 +109,10 @@ def ingest_pages_batch(
     triples = extract_triples(tagged.select("kg", "text"), namespace_col="kg")
     state = read_kg_state(spark, state_dir, before=batch_id)
     ent, rel, edges = state if state is not None else _empty_state(spark)
+    # parent max ids: tiny aggregates over the dictionary union — the
+    # boundary between frozen rows and this batch's appended rows
+    ent_max = ent.agg(F.coalesce(F.max("id"), F.lit(-1))).first()[0]
+    rel_max = rel.agg(F.coalesce(F.max("id"), F.lit(-1))).first()[0]
     inc = incremental_update(
         ent,
         rel,
@@ -104,9 +122,9 @@ def ingest_pages_batch(
     )
     base = os.path.join(state_dir, f"v{batch_id}")
     for name, df in (
-        ("ent_ids", inc.ent_ids),
-        ("rel_ids", inc.rel_ids),
-        ("edges", inc.edges),
+        ("ent_ids", inc.ent_ids.filter(F.col("id") > ent_max)),
+        ("rel_ids", inc.rel_ids.filter(F.col("id") > rel_max)),
+        ("edges", inc.novel_edges),
     ):
         df.write.mode("overwrite").parquet(os.path.join(base, name))
 

@@ -175,6 +175,14 @@ def test_streaming_kg_build_converges_to_batch(spark, tmp_path):
     n_ids = ent.count()
     assert ent.select("kg", "id").distinct().count() == n_ids
 
+    # commits are O(delta): any non-first version holds strictly fewer
+    # edge rows than the accumulated graph (a full-table rewrite per
+    # micro-batch is the scale killer this layout exists to avoid)
+    last_delta = spark.read.parquet(
+        str(tmp_path / "kg_state" / f"v{versions[-1]}" / "edges")
+    )
+    assert last_delta.count() < edges.count()
+
     # drained source + same checkpoint -> no new snapshot (resume is a
     # no-op, not a replay of the world)
     streaming_kg_build(spark, src, state, cp, max_files_per_trigger=2)
