@@ -42,7 +42,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ontoea_spark.operators.kmeans import _d2, kmeans_fit
+from ontoea_spark.operators.kmeans import _d2
 
 
 def subvectors(
@@ -86,22 +86,78 @@ def pq_train_codebooks(
 ) -> DataFrame:
     """Train one ``k``-entry codebook per subspace with the deterministic
     distributed Lloyd's. Returns DataFrame[j, cid, cvec] (m*k rows —
-    driver-resident by necessity: every scoring step broadcasts it)."""
+    driver-resident by necessity: every scoring step broadcasts it).
+
+    All ``m`` chains run FUSED as one Lloyd's over (id, j, sv) rows with
+    centroids keyed (j, cid): one assignment pass + one means collect
+    per iteration for every subspace together, instead of m sequential
+    ``kmeans_fit`` loops (m x fewer blocking driver round-trips — the
+    dominant cost of training, since per-job data is tiny). Bit-equal to
+    the per-subspace loops: the hash-ordered seed ids are the same for
+    every j (the hash keys the id, not the subspace), and assignment /
+    mean rounding are per-(j, cid) exactly as in ``kmeans_fit`` — the
+    NumPy goldens and the per-subspace oracle CTE chains pin this."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     spark = emb.sparkSession
-    books = []
-    for j in range(m):
-        sv = emb.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias(
-                "vec"
-            ),
+
+    # seed ids: smallest (portable_hash, id) — identical for every j, so
+    # ONE collect of the k full vectors, sliced per subspace driver-side
+    from ontoea_spark.functions.hashing import portable_hash64
+
+    seed_rows = (
+        emb.select(
+            F.col(id_col).cast("long").alias("sid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            portable_hash64(F.col(id_col).cast("string")).alias("h"),
         )
-        cb = kmeans_fit(sv, k, n_iter=n_iter, round_to=round_to)
-        books.append(cb.select(F.lit(j).cast("int").alias("j"), "cid", "cvec"))
-    return reduce(DataFrame.unionByName, books)
+        .orderBy("h", "sid")
+        .limit(k)
+        .collect()
+    )
+    cents = {
+        (j, cid): list(r.v[j * sub : (j + 1) * sub])
+        for j in range(m)
+        for cid, r in enumerate(seed_rows)
+    }
+
+    sv = subvectors(emb, m, dim, id_col, vec_col).localCheckpoint(eager=True)
+    m_expr = F.avg("val") if round_to is None else F.round(F.avg("val"), round_to)
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(j, cid, v) for (j, cid), v in sorted(cents.items())],
+            "j int, cid long, cvec array<double>",
+        )
+        scored = sv.join(F.broadcast(cdf), "j").withColumn(
+            "d2", F.round(_d2("sv", "cvec"), 12)
+        )
+        assigned = scored.groupBy("id", "j").agg(
+            F.min(F.struct("d2", "cid", "sv")).alias("b")
+        )
+        means = (
+            assigned.select(
+                "j",
+                F.col("b.cid").alias("cid"),
+                F.posexplode("b.sv").alias("pos", "val"),
+            )
+            .groupBy("j", "cid", "pos")
+            .agg(m_expr.alias("m"))
+            .groupBy("j", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("cvec")
+            )
+        )
+        # empty (j, cid) clusters keep their previous centroid
+        for r in means.collect():
+            cents[(r.j, r.cid)] = list(r.cvec)
+    return spark.createDataFrame(
+        [(j, cid, v) for (j, cid), v in sorted(cents.items())],
+        "j int, cid long, cvec array<double>",
+    )
 
 
 def pq_encode(
