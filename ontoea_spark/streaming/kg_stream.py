@@ -159,6 +159,35 @@ def streaming_kg_build(
     return q
 
 
+def compact_kg_state(spark, state_dir: str) -> int:
+    """Offline maintenance (run while the stream is stopped — the
+    Iceberg compaction analogue): merge all committed deltas into one
+    delta dir under the CURRENT max version id, so reads scan one file
+    set instead of one per micro-batch. Content is unchanged; version
+    numbering is unchanged (the stream's next batch_id is tracked by its
+    own Spark checkpoint and is strictly greater, so no collision).
+    Returns the compacted version id.
+
+    Crash-safety note, honestly: the sandbox's parquet layout swaps
+    directories (write merged -> remove old -> rename), which is not
+    atomic end-to-end; production Iceberg expresses this as a single
+    snapshot commit. Run it as stop-the-world maintenance here."""
+    import shutil
+
+    versions = _committed_versions(state_dir)
+    if not versions:
+        raise ValueError(f"no committed state under {state_dir}")
+    vmax = versions[-1]
+    state = read_kg_state(spark, state_dir)
+    tmp = os.path.join(state_dir, f"_compact_v{vmax}")
+    for name, df in zip(_STATE_TABLES, state):
+        df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+    for v in versions:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+    os.rename(tmp, os.path.join(state_dir, f"v{vmax}"))
+    return vmax
+
+
 def decoded_edges(
     ent_ids: DataFrame, rel_ids: DataFrame, edges: DataFrame
 ) -> DataFrame:

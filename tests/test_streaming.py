@@ -187,3 +187,21 @@ def test_streaming_kg_build_converges_to_batch(spark, tmp_path):
     # no-op, not a replay of the world)
     streaming_kg_build(spark, src, state, cp, max_files_per_trigger=2)
     assert _committed_versions(state) == versions
+
+    # compaction: all deltas merged under the max version id — one file
+    # set per table, identical content, and the stream still resumes as
+    # a no-op afterwards (batch_id tracking lives in the Spark
+    # checkpoint, not the state layout)
+    from ontoea_spark.streaming.kg_stream import compact_kg_state
+
+    vmax = compact_kg_state(spark, state)
+    assert vmax == versions[-1]
+    assert _committed_versions(state) == [vmax]
+    ent2, rel2, edges2 = read_kg_state(spark, state)
+    got2 = {
+        (r.s, r.p, r.o, r.kg)
+        for r in decoded_edges(ent2, rel2, edges2).collect()
+    }
+    assert got2 == want
+    streaming_kg_build(spark, src, state, cp, max_files_per_trigger=2)
+    assert _committed_versions(state) == [vmax]
