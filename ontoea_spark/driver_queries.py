@@ -1146,6 +1146,44 @@ def q_extract_fidelity(spark, sf_dir):
     )
 
 
+def q_web_links(spark, sf_dir):
+    """Hyperlink extraction from raw html bytes (pipeline/weblinks
+    .extract_links — JVM regexp_extract_all over the decoded blob +
+    explode). The pages fixture is synthesized WITH the deterministic
+    anchor schedule (pages.LINK_SCHEDULE); the oracle recomputes the
+    (src_url, dst_url) pairs analytically from the doc_id arithmetic,
+    never touching html — a parsing error cannot hash-match."""
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.pipeline.weblinks import extract_links
+
+    pages = synthesize_pages(_documents(spark, sf_dir), with_links=True)
+    return extract_links(pages)
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level web graph rollup (weblinks.host_link_graph): parsed
+    anchors -> url_host on both endpoints -> weighted (src_host,
+    dst_host, n_links) edges, intra-host edges dropped. The Common-Crawl
+    host-graph artifact; input to frontier ranking and domain priors."""
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.pipeline.weblinks import extract_links, host_link_graph
+
+    pages = synthesize_pages(_documents(spark, sf_dir), with_links=True)
+    return host_link_graph(extract_links(pages))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host PageRank from raw page anchors (weblinks.host_pagerank):
+    5 fixed power iterations over the distinct host edges — the fixture's
+    src0 hub ends up with the outsized rank the skew machinery exists
+    for. Oracle replays the iterations as unrolled CTEs."""
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.pipeline.weblinks import extract_links, host_pagerank
+
+    pages = synthesize_pages(_documents(spark, sf_dir), with_links=True)
+    return host_pagerank(extract_links(pages), iters=5)
+
+
 def q_ann_lsh_top1(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH bucket join (subquadratic
     candidate generation) + exact cosine re-rank, top-1 per query
@@ -1777,6 +1815,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knob) displaces kg_pagerank — the graph family stays anchored
         # by kg_components and dedup_clusters in-window
         "ann_recall_nprobe": q_ann_recall_nprobe,
+        # web link-graph family (new this round): href extraction, host
+        # rollup, host PageRank — displace three anchors that are r4-green
+        # with unchanged code (crawl_latest_snapshot: URL family keeps
+        # url_canonical in-window; dedup_minhash: dedup keeps
+        # dedup_clusters + span_dedup; hits_metrics: eval keeps
+        # hits_metrics_candidates + alignment_eval)
+        "web_links": q_web_links,
+        "host_graph": q_host_graph,
+        "host_pagerank": q_host_pagerank,
         # --- keep-green anchors: one per SURVEY-§2 family (triple_pr is
         # the north-rule P/R evidence row and never rotates out) ------------
         "triple_pr": q_triple_pr,
@@ -1784,11 +1831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_triples": q_extract_triples,
         "links_fixpoint": q_links_fixpoint,
         "sup_cv_links": q_sup_cv_links,
-        "crawl_latest_snapshot": q_crawl_latest_snapshot,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
-        "hits_metrics": q_hits_metrics,
         "onto_class_paths": q_onto_class_paths,
         "onto_compat_seeded": q_onto_compat_seeded,
         "class_complete_vote": q_class_complete_vote,
@@ -1800,6 +1844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== position 50: driver window ends here ========================
         # r4-green rotation pool (code unchanged since its green row;
         # rotates back next round per the policy above):
+        "crawl_latest_snapshot": q_crawl_latest_snapshot,
+        "dedup_minhash": q_dedup_minhash,
+        "hits_metrics": q_hits_metrics,
         "text_quality": q_text_quality,
         "ann_topk_manhattan": q_ann_topk_manhattan,
         "dedup_embedding": q_dedup_embedding,
@@ -1902,6 +1949,56 @@ deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
 r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
 {pr_cte}
 SELECT id AS entity, round(rank, 6) AS pagerank FROM r5
+"""
+
+    # web link-graph family: the oracle regenerates the anchor targets
+    # analytically from documents + pages.LINK_SCHEDULE (shared constants,
+    # like MINHASH_PARAMS) — it never builds or parses html, so the Spark
+    # path's regex extraction is independently checked end-to-end.
+    from ontoea_spark.pipeline.pages import (
+        LINK_PATH_MOD,
+        LINK_SCHEDULE,
+        N_LINK_SOURCES,
+    )
+
+    link_rows = ", ".join(
+        f"({sm}, {so}, {pm}, {po})" for sm, so, pm, po in LINK_SCHEDULE
+    )
+    wl_cte = f"""wl AS (
+  SELECT d.doc_id, d.source, j.sm, j.so, j.pm, j.po
+  FROM documents d, (VALUES {link_rows}) AS j(sm, so, pm, po)
+)"""
+
+    sql["web_links"] = f"""
+WITH {wl_cte}
+SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+       'https://src' || CAST((doc_id * sm + so) % {N_LINK_SOURCES} AS VARCHAR)
+         || '.example.org/doc/' || CAST((doc_id * pm + po) % {LINK_PATH_MOD} AS VARCHAR) AS dst_url
+FROM wl
+"""
+
+    he_cte = f"""he AS (
+  SELECT source || '.example.org' AS src_host,
+         'src' || CAST((doc_id * sm + so) % {N_LINK_SOURCES} AS VARCHAR) || '.example.org' AS dst_host
+  FROM wl
+)"""
+
+    sql["host_graph"] = f"""
+WITH {wl_cte}, {he_cte}
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM he WHERE src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
+    sql["host_pagerank"] = f"""
+WITH {wl_cte}, {he_cte},
+ed AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM he WHERE src_host <> dst_host),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)),
+nn AS (SELECT count(*) AS n FROM verts),
+deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
+{pr_cte}
+SELECT id AS host, round(rank, 6) AS pagerank FROM r5
 """
 
     sql["rel_functionality"] = f"""

@@ -23,14 +23,55 @@ HTML_PREFIX = "<html><head><title>doc-"
 HTML_MID = "</title></head><body><p>"
 HTML_SUFFIX = "</p></body></html>"
 
+# Deterministic outlink schedule (with_links=True): every page carries
+# LINKS_PER_PAGE anchors after its </p> body. Target hosts are pure
+# doc_id arithmetic over the fixture's source vocabulary (src0..src19),
+# with link 0 always pointing at src0 — a deliberate hub, so the derived
+# host graph has the in-degree skew a real web graph has (and that the
+# salting/PageRank operators exist to measure).
+N_LINK_SOURCES = 20
+LINKS_PER_PAGE = 3
+# (source-index multiplier, source-index offset, path multiplier, path offset)
+LINK_SCHEDULE = [(0, 0, 7, 1), (3, 1, 11, 3), (7, 4, 13, 7)]
+LINK_PATH_MOD = 1000
 
-def synthesize_pages(documents: DataFrame) -> DataFrame:
-    """documents(doc_id, text, lang, source, n_chars) -> pages table."""
+
+def _links_block(doc_id) -> F.Column:
+    """The anchor block appended between </p> and </body>."""
+    anchors = []
+    for sm, so, pm, po in LINK_SCHEDULE:
+        src_idx = F.pmod(doc_id * sm + so, F.lit(N_LINK_SOURCES))
+        path_id = F.pmod(doc_id * pm + po, F.lit(LINK_PATH_MOD))
+        anchors.append(
+            F.concat(
+                F.lit('<a href="https://src'),
+                src_idx.cast("string"),
+                F.lit(".example.org/doc/"),
+                path_id.cast("string"),
+                F.lit('">l</a>'),
+            )
+        )
+    return F.concat(*anchors)
+
+
+def synthesize_pages(documents: DataFrame, with_links: bool = False) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) -> pages table.
+
+    ``with_links=True`` appends the deterministic anchor block after the
+    </p> body (extraction is unaffected: the text extractor takes the
+    first non-greedy <p>…</p> match). Default False keeps the byte-exact
+    fixture the extraction-fidelity and crawl queries were oracled on.
+    """
     url = F.concat(
         F.lit("https://"),
         F.col("source"),
         F.lit(".example.org/doc/"),
         F.col("doc_id").cast("string"),
+    )
+    tail = (
+        F.concat(F.lit("</p>"), _links_block(F.col("doc_id")), F.lit("</body></html>"))
+        if with_links
+        else F.lit(HTML_SUFFIX)
     )
     html = F.encode(
         F.concat(
@@ -38,7 +79,7 @@ def synthesize_pages(documents: DataFrame) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.lit(HTML_MID),
             F.col("text"),
-            F.lit(HTML_SUFFIX),
+            tail,
         ),
         "utf-8",
     )
