@@ -133,6 +133,7 @@ def bench_queries(spark, sf_dir: str, runs: int = 3) -> tuple[dict[str, float], 
         "contamination",
         "ann_topk",
         "ann_ivfpq_top1",
+        "host_pagerank",
         "csls_top1",
         "hits_metrics",
         "para_dedup",

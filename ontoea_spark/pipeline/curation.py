@@ -304,3 +304,57 @@ def source_stats(
         ).alias("avg_chars"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+def domain_quality_prior(
+    scored_docs: DataFrame,
+    doc_hosts: DataFrame,
+    host_ranks: DataFrame,
+    w_prior: float = 0.1,
+    rank_cap: float = 4.0,
+) -> DataFrame:
+    """Fuse the per-document quality score with a DOMAIN-level prior
+    derived from the crawl's own link graph (CCNet/RefinedWeb-style
+    domain filtering: a page on a well-linked host gets benefit of the
+    doubt, a page on a link-isolated host needs to earn it per-doc).
+
+    Inputs: ``scored_docs`` (doc_id, quality_score, ...) from
+    :func:`quality_score`; ``doc_hosts`` (doc_id, host); ``host_ranks``
+    (host, pagerank) from weblinks.host_pagerank. The rank is first
+    normalized to RELATIVE authority (pagerank x n_hosts, 1.0 = the
+    uniform baseline) so the prior is scale-free in the host count,
+    then capped and fused:
+
+        prior_score = round(quality_score
+                            + w_prior * least(rel_rank, rank_cap), 6)
+
+    All IEEE rational arithmetic over pre-rounded operands — no
+    transcendentals — so the DuckDB oracle reproduces it bit-exactly.
+
+    Scale: host_ranks is |hosts|-sized (orders of magnitude smaller
+    than the corpus — the rollup already divided by pages-per-host),
+    so both the count fan-in and the rank join broadcast; the only
+    corpus-sized work is the doc_id equi-join, and hot hosts on the
+    build side are a broadcast, immune to the src0-style hub skew.
+    """
+    n_hosts = host_ranks.agg(F.count("*").cast("long").alias("n_hosts"))
+    rel = host_ranks.crossJoin(F.broadcast(n_hosts)).select(
+        "host",
+        F.round(F.col("pagerank") * F.col("n_hosts"), 6).alias("rel_rank"),
+    )
+    j = scored_docs.join(doc_hosts, "doc_id").join(
+        F.broadcast(rel), "host", "left"
+    )
+    rel_filled = F.coalesce(F.col("rel_rank"), F.lit(0.0))
+    prior = F.round(
+        F.col("quality_score")
+        + F.lit(w_prior) * F.least(rel_filled, F.lit(rank_cap)),
+        6,
+    )
+    return j.select(
+        "doc_id",
+        "host",
+        "quality_score",
+        rel_filled.alias("rel_rank"),
+        prior.alias("prior_score"),
+    )

@@ -112,3 +112,23 @@ def test_extract_links_plan_drops_html(spark):
     # scan — but never above the shuffle: nothing after the first
     # Exchange node (reading top-down, the aggregate side) may carry it
     assert "html" not in plan[: plan.index("Exchange")], plan
+
+
+def test_domain_prior_hub_uplift(spark):
+    """The prior uplift (prior_score - quality_score) is a per-host
+    constant, maximal for the baked-in hub src0."""
+    from ontoea_spark import driver_queries as DQ
+
+    rows = DQ.queries()["domain_prior"](spark, SF_SMOKE).collect()
+    by_host: dict[str, set] = {}
+    for r in rows:
+        by_host.setdefault(r.host, set()).add(
+            round(r.prior_score - r.quality_score, 6)
+        )
+    # prior_score is rounded AFTER fusion, so per-doc uplift may wobble
+    # by one 6dp ulp at rounding boundaries — constant within that
+    assert all(max(v) - min(v) <= 1e-6 + 1e-12 for v in by_host.values()), by_host
+    uplift = {h: max(v) for h, v in by_host.items()}
+    hub = max(uplift, key=lambda h: uplift[h])
+    assert hub == "src0.example.org"
+    assert uplift[hub] > 0
