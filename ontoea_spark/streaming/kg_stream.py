@@ -41,7 +41,9 @@ EDGE_SCHEMA = "s_id long, p_id long, o_id long, kg long"
 _STATE_TABLES = ("ent_ids", "rel_ids", "edges")
 
 
-def _committed_versions(state_dir: str) -> list[int]:
+def _committed_versions(
+    state_dir: str, tables: tuple[str, ...] = _STATE_TABLES
+) -> list[int]:
     """Versions whose LAST table write finished (parquet _SUCCESS marker
     on every table — a half-written snapshot from a crashed batch is
     invisible and its replay overwrites it)."""
@@ -54,7 +56,7 @@ def _committed_versions(state_dir: str) -> list[int]:
         base = os.path.join(state_dir, name)
         if all(
             os.path.exists(os.path.join(base, t, "_SUCCESS"))
-            for t in _STATE_TABLES
+            for t in tables
         ):
             out.append(int(name[1:]))
     return sorted(out)
@@ -217,3 +219,100 @@ def decoded_edges(
         )
         .select("s", "p", "o", "kg")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming host link graph (additive-state rollup)
+# ---------------------------------------------------------------------------
+
+_HOST_TABLES = ("host_edges",)
+
+
+def ingest_links_batch(pages: DataFrame, state_dir: str, batch_id: int) -> None:
+    """foreachBatch body for the streaming host link graph: this batch's
+    pages -> href anchors -> host-edge PARTIAL counts, committed as the
+    batch's own delta dir.
+
+    Edge weight is a sum — a commutative-monoid state — so unlike the
+    dictionary-bearing KG state this delta needs NO read of parent state
+    at all: write cost is O(batch) with zero graph-sized scans, a
+    crash-replay overwrites only its own version dir, and the merged
+    view is a groupBy-sum over committed deltas at read time (the
+    metrics-rollup pattern every streaming engine special-cases; here it
+    falls out of the versioned-delta layout)."""
+    from ontoea_spark.pipeline.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(pages))
+    g.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{batch_id}", "host_edges")
+    )
+
+
+def read_host_graph(
+    spark, state_dir: str, before: int | None = None
+) -> DataFrame | None:
+    """Merged host graph = groupBy-sum over committed partial-count
+    deltas (one multi-path scan). None if nothing is committed yet."""
+    versions = _committed_versions(state_dir, tables=_HOST_TABLES)
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
+        return None
+    df = spark.read.parquet(
+        *[os.path.join(state_dir, f"v{v}", "host_edges") for v in versions]
+    )
+    return df.groupBy("src_host", "dst_host").agg(
+        F.sum("n_links").cast("long").alias("n_links")
+    )
+
+
+def streaming_host_graph(
+    spark,
+    pages_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+):
+    """Incremental host-graph maintenance over a stream of pages files
+    (availableNow drain for the bounded test mode; a production crawl
+    runs unbounded). Converges to exactly the batch
+    host_link_graph(extract_links(pages)) counts — addition is
+    arrival-order-free, so there is no incremental deviation at all
+    (asserted by tests/test_streaming.py)."""
+    from ontoea_spark.streaming.ingest import read_pages_stream
+
+    stream = read_pages_stream(
+        spark, pages_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_links_batch(batch_df, state_dir, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def compact_host_graph(spark, state_dir: str) -> int:
+    """Merge all committed host-edge deltas into one PRE-AGGREGATED
+    delta under the current max version id (stop-the-world maintenance,
+    same contract as compact_kg_state). The merged view is unchanged:
+    read-time groupBy-sum over one pre-summed delta is the identity."""
+    import shutil
+
+    versions = _committed_versions(state_dir, tables=_HOST_TABLES)
+    if not versions:
+        raise ValueError(f"no committed host-graph state under {state_dir}")
+    vmax = versions[-1]
+    merged = read_host_graph(spark, state_dir)
+    tmp = os.path.join(state_dir, f"_compact_v{vmax}")
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "host_edges"))
+    for v in versions:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+    os.rename(tmp, os.path.join(state_dir, f"v{vmax}"))
+    return vmax

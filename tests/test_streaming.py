@@ -205,3 +205,62 @@ def test_streaming_kg_build_converges_to_batch(spark, tmp_path):
     assert got2 == want
     streaming_kg_build(spark, src, state, cp, max_files_per_trigger=2)
     assert _committed_versions(state) == [vmax]
+
+
+def test_streaming_host_graph_converges_to_batch(spark, tmp_path):
+    """The host link graph as a stream: additive partial counts per
+    micro-batch must sum to exactly the batch rollup (no incremental
+    deviation at all — addition is arrival-order-free), replay a batch
+    idempotently, resume as a no-op, and compact without content change."""
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.pipeline.weblinks import extract_links, host_link_graph
+    from ontoea_spark.streaming.kg_stream import (
+        _committed_versions,
+        compact_host_graph,
+        ingest_links_batch,
+        read_host_graph,
+        streaming_host_graph,
+    )
+
+    pages = synthesize_pages(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet"), with_links=True
+    )
+    src = str(tmp_path / "pages_link_stream")
+    pages.repartition(6).write.parquet(src)
+    state = str(tmp_path / "host_state")
+    cp = str(tmp_path / "cp_links")
+
+    streaming_host_graph(spark, src, state, cp, max_files_per_trigger=2)
+    versions = _committed_versions(state, tables=("host_edges",))
+    assert len(versions) >= 2, versions
+
+    def rows(df):
+        return {(r.src_host, r.dst_host, r.n_links) for r in df.collect()}
+
+    want = rows(host_link_graph(extract_links(pages)))
+    got = rows(read_host_graph(spark, state))
+    assert got == want and len(got) > 0
+
+    # crash-replay idempotence: re-running foreachBatch with the SAME
+    # (rows, batch_id) overwrites only its own version dir and leaves
+    # the merged view unchanged
+    replay_state = str(tmp_path / "host_state_replay")
+    all_pages = spark.read.parquet(src)
+    ingest_links_batch(all_pages, replay_state, 0)
+    once = rows(read_host_graph(spark, replay_state))
+    ingest_links_batch(all_pages, replay_state, 0)
+    assert rows(read_host_graph(spark, replay_state)) == once == want
+
+    # fresh state: drained re-run with the same checkpoint is a no-op
+    state2 = str(tmp_path / "host_state2")
+    cp2 = str(tmp_path / "cp_links2")
+    streaming_host_graph(spark, src, state2, cp2, max_files_per_trigger=2)
+    v2 = _committed_versions(state2, tables=("host_edges",))
+    streaming_host_graph(spark, src, state2, cp2, max_files_per_trigger=2)
+    assert _committed_versions(state2, tables=("host_edges",)) == v2
+
+    # compaction: one pre-aggregated delta, identical merged content
+    vmax = compact_host_graph(spark, state2)
+    assert vmax == v2[-1]
+    assert _committed_versions(state2, tables=("host_edges",)) == [vmax]
+    assert rows(read_host_graph(spark, state2)) == want
