@@ -1207,6 +1207,20 @@ def q_domain_prior(spark, sf_dir):
     return domain_quality_prior(scored, hosts, pr)
 
 
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-text alias dictionary (weblinks.extract_anchor_texts +
+    anchor_text_index): how the web NAMES each linked page — per target
+    url, every distinct anchor surface form with its support count (the
+    entity-alias signal KG construction mines from hyperlinks). Spark
+    parses the two-capture-group anchors out of raw html; the oracle
+    regenerates (target, label) analytically from the schedule."""
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.pipeline.weblinks import anchor_text_index, extract_anchor_texts
+
+    pages = synthesize_pages(_documents(spark, sf_dir), with_links=True)
+    return anchor_text_index(extract_anchor_texts(pages))
+
+
 def q_ann_lsh_top1(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH bucket join (subquadratic
     candidate generation) + exact cosine re-rank, top-1 per query
@@ -1852,6 +1866,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_topk, ann_recall, ann_ivfpq_top1 and ann_recall_nprobe
         # in-window; the kmeans quantizer row stays r4-green
         "domain_prior": q_domain_prior,
+        # anchor_text_index (anchor-surface-form alias dictionary, the
+        # entity-naming signal mined from hyperlinks) displaces ann_topk —
+        # the ANN family keeps ann_topk_euclidean, ann_lsh_top1,
+        # ann_ivf_top1, ann_recall, ann_ivfpq_top1 and ann_recall_nprobe
+        # in-window this round
+        "anchor_text_index": q_anchor_text_index,
         # --- keep-green anchors: one per SURVEY-§2 family (triple_pr is
         # the north-rule P/R evidence row and never rotates out) ------------
         "triple_pr": q_triple_pr,
@@ -1860,7 +1880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_fixpoint": q_links_fixpoint,
         "sup_cv_links": q_sup_cv_links,
         "dedup_clusters": q_dedup_clusters,
-        "ann_topk": q_ann_topk,
         "onto_class_paths": q_onto_class_paths,
         "onto_compat_seeded": q_onto_compat_seeded,
         "class_complete_vote": q_class_complete_vote,
@@ -1872,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-green rotation pool (code unchanged since its green row;
         # rotates back next round per the policy above):
         "crawl_latest_snapshot": q_crawl_latest_snapshot,
+        "ann_topk": q_ann_topk,
         "dedup_minhash": q_dedup_minhash,
         "hits_metrics": q_hits_metrics,
         "ann_ivf_kmeans_top1": q_ann_ivf_kmeans_top1,
@@ -1990,11 +2010,12 @@ SELECT id AS entity, round(rank, 6) AS pagerank FROM r5
     )
 
     link_rows = ", ".join(
-        f"({sm}, {so}, {pm}, {po})" for sm, so, pm, po in LINK_SCHEDULE
+        f"({jx}, {sm}, {so}, {pm}, {po})"
+        for jx, (sm, so, pm, po) in enumerate(LINK_SCHEDULE)
     )
     wl_cte = f"""wl AS (
-  SELECT d.doc_id, d.source, j.sm, j.so, j.pm, j.po
-  FROM documents d, (VALUES {link_rows}) AS j(sm, so, pm, po)
+  SELECT d.doc_id, d.source, j.jx, j.sm, j.so, j.pm, j.po
+  FROM documents d, (VALUES {link_rows}) AS j(jx, sm, so, pm, po)
 )"""
 
     sql["web_links"] = f"""
@@ -2003,6 +2024,19 @@ SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS
        'https://src' || CAST((doc_id * sm + so) % {N_LINK_SOURCES} AS VARCHAR)
          || '.example.org/doc/' || CAST((doc_id * pm + po) % {LINK_PATH_MOD} AS VARCHAR) AS dst_url
 FROM wl
+"""
+
+    sql["anchor_text_index"] = f"""
+WITH {wl_cte},
+an AS (
+  SELECT 'https://src' || CAST((doc_id * sm + so) % {N_LINK_SOURCES} AS VARCHAR)
+           || '.example.org/doc/' || CAST((doc_id * pm + po) % {LINK_PATH_MOD} AS VARCHAR) AS dst_url,
+         (CASE WHEN (doc_id + jx) % 2 = 0 THEN 'doc ' ELSE 'page ' END)
+           || CAST((doc_id * pm + po) % {LINK_PATH_MOD} AS VARCHAR) AS anchor_text
+  FROM wl
+)
+SELECT dst_url, anchor_text, CAST(count(*) AS BIGINT) AS n_refs
+FROM an GROUP BY dst_url, anchor_text
 """
 
     he_cte = f"""he AS (

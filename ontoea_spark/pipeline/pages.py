@@ -37,18 +37,32 @@ LINK_PATH_MOD = 1000
 
 
 def _links_block(doc_id) -> F.Column:
-    """The anchor block appended between </p> and </body>."""
+    """The anchor block appended between </p> and </body>.
+
+    Anchor TEXT is deterministic too — the j-th anchor names its target
+    either 'doc N' or 'page N' depending on parity of (doc_id + j), so
+    a target URL accumulates up to two distinct surface forms across
+    the corpus: the alias-dictionary shape anchor-text mining exists
+    to extract (weblinks.anchor_text_index)."""
     anchors = []
-    for sm, so, pm, po in LINK_SCHEDULE:
+    for j, (sm, so, pm, po) in enumerate(LINK_SCHEDULE):
         src_idx = F.pmod(doc_id * sm + so, F.lit(N_LINK_SOURCES))
         path_id = F.pmod(doc_id * pm + po, F.lit(LINK_PATH_MOD))
+        label = F.concat(
+            F.when(F.pmod(doc_id + j, F.lit(2)) == 0, F.lit("doc ")).otherwise(
+                F.lit("page ")
+            ),
+            path_id.cast("string"),
+        )
         anchors.append(
             F.concat(
                 F.lit('<a href="https://src'),
                 src_idx.cast("string"),
                 F.lit(".example.org/doc/"),
                 path_id.cast("string"),
-                F.lit('">l</a>'),
+                F.lit('">'),
+                label,
+                F.lit("</a>"),
             )
         )
     return F.concat(*anchors)

@@ -80,3 +80,41 @@ def host_pagerank(links: DataFrame, iters: int = 5) -> DataFrame:
         g.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
         iters=iters,
     ).select(F.col("id").alias("host"), "pagerank")
+
+
+_ANCHOR_PATTERN = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+def extract_anchor_texts(pages: DataFrame) -> DataFrame:
+    """pages -> (src_url, dst_url, anchor_text), one row per anchor.
+
+    Same narrow JVM-regex shape as :func:`extract_links`, but keeps the
+    anchor's surface text: two capture groups extracted in parallel and
+    zipped (regexp_extract_all takes one group index per call — the
+    extract_mentions pattern). Anchor text is how the web NAMES the
+    page it links to, i.e. the alias/entity-name signal KG construction
+    mines (the anchor-text dictionaries behind entity-linking systems).
+    """
+    html_str = F.decode(F.col("html"), "utf-8")
+    pat = F.lit(_ANCHOR_PATTERN)
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(html_str, pat, F.lit(1)).alias("u"),
+        F.regexp_extract_all(html_str, pat, F.lit(2)).alias("t"),
+    )
+    return pages.select(
+        F.col("url").alias("src_url"), F.explode(zipped).alias("a")
+    ).select(
+        "src_url",
+        F.col("a.u").alias("dst_url"),
+        F.col("a.t").alias("anchor_text"),
+    )
+
+
+def anchor_text_index(anchors: DataFrame) -> DataFrame:
+    """Anchor-text alias dictionary: for every target url, each distinct
+    surface form with its support count — (dst_url, anchor_text,
+    n_refs). One combiner-friendly groupBy; the output is bounded by
+    distinct (target, name) pairs, far below the anchor count."""
+    return anchors.groupBy("dst_url", "anchor_text").agg(
+        F.count("*").cast("long").alias("n_refs")
+    )

@@ -61,6 +61,49 @@ def test_extract_links_no_anchors_no_rows(spark):
     assert extract_links(pages).count() == 0
 
 
+def test_extract_anchor_texts_schedule(spark):
+    """Anchor surface forms follow the (doc_id + j) parity schedule, and
+    the (src, dst) projection agrees exactly with extract_links."""
+    from ontoea_spark.pipeline.weblinks import extract_anchor_texts, extract_links
+
+    pages = _pages(spark, with_links=True)
+    anchors = extract_anchor_texts(pages)
+    # doc_id=3: j=0 -> 3 odd 'page 22'; j=1 -> 4 even 'doc 36';
+    # j=2 -> 5 odd 'page 46'
+    got = sorted(
+        (r.dst_url, r.anchor_text)
+        for r in anchors.filter(F.col("src_url").endswith("/doc/3")).collect()
+    )
+    assert got == [
+        ("https://src0.example.org/doc/22", "page 22"),
+        ("https://src10.example.org/doc/36", "doc 36"),
+        ("https://src5.example.org/doc/46", "page 46"),
+    ]
+    links = extract_links(pages)
+    proj = anchors.select("src_url", "dst_url")
+    assert proj.exceptAll(links).count() == 0
+    assert links.exceptAll(proj).count() == 0
+
+
+def test_anchor_text_index_support_counts(spark):
+    """The alias dictionary's n_refs sum to the anchor count, every
+    target carries at most the two schedule surface forms ('doc N' /
+    'page N'), and each form's trailing number equals the target's
+    path id."""
+    from ontoea_spark.pipeline.pages import LINKS_PER_PAGE
+    from ontoea_spark.pipeline.weblinks import anchor_text_index, extract_anchor_texts
+
+    pages = _pages(spark, with_links=True)
+    idx = anchor_text_index(extract_anchor_texts(pages)).collect()
+    assert sum(r.n_refs for r in idx) == pages.count() * LINKS_PER_PAGE
+    forms: dict[str, set] = {}
+    for r in idx:
+        forms.setdefault(r.dst_url, set()).add(r.anchor_text)
+        path_id = r.dst_url.rsplit("/", 1)[1]
+        assert r.anchor_text in (f"doc {path_id}", f"page {path_id}")
+    assert all(len(v) <= 2 for v in forms.values())
+
+
 def test_host_graph_drops_self_and_counts(spark):
     """Self-host edges are dropped; kept edge weights equal the raw
     anchor multiplicity (checked against a groupBy of the link rows)."""
