@@ -1221,6 +1221,43 @@ def q_anchor_text_index(spark, sf_dir):
     return anchor_text_index(extract_anchor_texts(pages))
 
 
+def q_entity_link_top1(spark, sf_dir):
+    """Anchor-prior entity-linking dictionary (entity_link.link_top1 over
+    mention_entity_prior): per surface form, the argmax-commonness
+    entity P(e|m)=n_refs/total — the most-common-sense linking baseline
+    the north rule's entity-linking stage starts from. One keyed window
+    computes total + rank in a single shuffle; the oracle replays the
+    same window algebra over analytically regenerated anchors."""
+    from ontoea_spark.pipeline.entity_link import link_top1, mention_entity_prior
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.pipeline.weblinks import anchor_text_index, extract_anchor_texts
+
+    pages = synthesize_pages(_documents(spark, sf_dir), with_links=True)
+    idx = anchor_text_index(extract_anchor_texts(pages))
+    return link_top1(mention_entity_prior(idx))
+
+
+def q_link_accuracy(spark, sf_dir):
+    """Prior-ceiling self-evaluation (entity_link.anchor_linking_accuracy):
+    link every anchor occurrence by its surface form via the top-1
+    dictionary and score against the anchor's true target — per source
+    host (src_host, n_anchors, n_correct, accuracy). Zero hand labels:
+    the anchor IS its own gold link. The dictionary side goes through
+    the size-gated broadcast (one row per surface form)."""
+    from ontoea_spark.pipeline.entity_link import (
+        anchor_linking_accuracy,
+        link_top1,
+        mention_entity_prior,
+    )
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.pipeline.weblinks import anchor_text_index, extract_anchor_texts
+
+    pages = synthesize_pages(_documents(spark, sf_dir), with_links=True)
+    anchors = extract_anchor_texts(pages)
+    top1 = link_top1(mention_entity_prior(anchor_text_index(anchors)))
+    return anchor_linking_accuracy(anchors, top1)
+
+
 def q_ann_lsh_top1(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH bucket join (subquadratic
     candidate generation) + exact cosine re-rank, top-1 per query
@@ -1872,6 +1909,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_ivf_top1, ann_recall, ann_ivfpq_top1 and ann_recall_nprobe
         # in-window this round
         "anchor_text_index": q_anchor_text_index,
+        # entity-link pair (anchor-prior dictionary + its gold-free
+        # accuracy eval — the north rule's entity-linking stage) displace
+        # dedup_clusters (dedup keeps dedup_exact, para_dedup, span_dedup
+        # in-window) and class_complete_vote (completion keeps
+        # class_complete_full; ontology keeps onto_class_paths,
+        # onto_compat_v1/seeded)
+        "entity_link_top1": q_entity_link_top1,
+        "link_accuracy": q_link_accuracy,
         # --- keep-green anchors: one per SURVEY-§2 family (triple_pr is
         # the north-rule P/R evidence row and never rotates out) ------------
         "triple_pr": q_triple_pr,
@@ -1879,10 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_triples": q_extract_triples,
         "links_fixpoint": q_links_fixpoint,
         "sup_cv_links": q_sup_cv_links,
-        "dedup_clusters": q_dedup_clusters,
         "onto_class_paths": q_onto_class_paths,
         "onto_compat_seeded": q_onto_compat_seeded,
-        "class_complete_vote": q_class_complete_vote,
         "class_complete_full": q_class_complete_full,
         # first-ever oracled check: V3 Gale-Shapley gained an unrolled-CTE
         # replay oracle this round (was rows-only since r1)
@@ -1892,6 +1935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates back next round per the policy above):
         "crawl_latest_snapshot": q_crawl_latest_snapshot,
         "ann_topk": q_ann_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "class_complete_vote": q_class_complete_vote,
         "dedup_minhash": q_dedup_minhash,
         "hits_metrics": q_hits_metrics,
         "ann_ivf_kmeans_top1": q_ann_ivf_kmeans_top1,
@@ -2037,6 +2082,43 @@ an AS (
 )
 SELECT dst_url, anchor_text, CAST(count(*) AS BIGINT) AS n_refs
 FROM an GROUP BY dst_url, anchor_text
+"""
+
+    # entity linking: the anchor-prior dictionary and its self-evaluation.
+    # Both replay the same window algebra the Spark side runs, over the
+    # analytically regenerated anchor stream (never touching html).
+    an_cte = f"""an AS (
+  SELECT source || '.example.org' AS src_host,
+         'https://src' || CAST((doc_id * sm + so) % {N_LINK_SOURCES} AS VARCHAR)
+           || '.example.org/doc/' || CAST((doc_id * pm + po) % {LINK_PATH_MOD} AS VARCHAR) AS dst_url,
+         (CASE WHEN (doc_id + jx) % 2 = 0 THEN 'doc ' ELSE 'page ' END)
+           || CAST((doc_id * pm + po) % {LINK_PATH_MOD} AS VARCHAR) AS anchor_text
+  FROM wl
+)"""
+    top1_ctes = f"""aidx AS (
+  SELECT dst_url, anchor_text, CAST(count(*) AS BIGINT) AS n_refs
+  FROM an GROUP BY dst_url, anchor_text
+),
+pri AS (
+  SELECT anchor_text, dst_url AS entity_url, n_refs,
+         round(n_refs * 1.0 / sum(n_refs) OVER (PARTITION BY anchor_text), 6) AS prior,
+         row_number() OVER (PARTITION BY anchor_text ORDER BY n_refs DESC, dst_url ASC) AS rnk
+  FROM aidx
+)"""
+
+    sql["entity_link_top1"] = f"""
+WITH {wl_cte}, {an_cte}, {top1_ctes}
+SELECT anchor_text, entity_url, n_refs, prior FROM pri WHERE rnk = 1
+"""
+
+    sql["link_accuracy"] = f"""
+WITH {wl_cte}, {an_cte}, {top1_ctes}
+SELECT a.src_host,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(sum(CASE WHEN p.entity_url = a.dst_url THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN p.entity_url = a.dst_url THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS accuracy
+FROM an a JOIN pri p ON a.anchor_text = p.anchor_text AND p.rnk = 1
+GROUP BY a.src_host
 """
 
     he_cte = f"""he AS (
