@@ -114,11 +114,20 @@ def bench_queries(spark, sf_dir: str, runs: int = 3) -> tuple[dict[str, float], 
 
     from ontoea_spark import driver_queries as DQ
 
-    cold_fixture = {"extract_triples": "triples_"}
+    # kg_canonical_edges: the canonicalization chain (components ->
+    # rewrite -> unified dictionary -> encode) is memoized under
+    # 'canonical_kg'; clear it per sample so the timed work is the
+    # operator chain, not a localCheckpoint read. The upstream triples
+    # fixture stays warm — canonicalization starts where extraction ends.
+    cold_fixture = {
+        "extract_triples": "triples_",
+        "kg_canonical_edges": "canonical_kg",
+    }
     qs = entrymod.queries()
     headline = [
         "extract_triples",
         "dict_encode_triples",
+        "kg_canonical_edges",
         "links_fixpoint",
         "q1_pricing",
         "q3_top_revenue",

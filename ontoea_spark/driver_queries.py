@@ -1258,6 +1258,65 @@ def q_link_accuracy(spark, sf_dir):
     return anchor_linking_accuracy(anchors, top1)
 
 
+def _canonical(spark, sf_dir):
+    """Memoized full canonicalization result (pipeline/canonicalize.py):
+    extraction -> gold links -> connected components over the link graph
+    -> min-URI rewrite -> unified dictionary -> edge/vertex tables. The
+    three kg_canonical_* queries each read one table of the same build."""
+    from ontoea_spark.pipeline.canonicalize import canonicalize_kg
+
+    key = (id(spark), sf_dir, "canonical_kg")
+    if key not in _MEMO:
+        t1 = _triples(spark, sf_dir, "kg1")
+        t2 = _triples(spark, sf_dir, "kg2")
+        _MEMO[key] = canonicalize_kg(t1, t2, gold_links(t1, t2))
+    return _MEMO[key]
+
+
+def q_kg_canonical_triples(spark, sf_dir):
+    """North-rule canonicalization stage, URI level: alignment links ->
+    pointer-jumping components (min-URI canonical) -> subject/object
+    rewrite through the gated-broadcast map -> set-semantics distinct.
+    The oracle expresses the identical rewrite as two left joins against
+    the gold links, which equals the component minimum on this input
+    because the links are 1:1 bipartite with 'kg1:w' < 'kg2:w' (chains /
+    many-to-many are covered by tests/test_canonicalize.py instead)."""
+    return _canonical(spark, sf_dir).triples
+
+
+def q_kg_canonical_edges(spark, sf_dir):
+    """Canonical edge table: the merged triple set re-encoded with ONE
+    unified dictionary (D3 one-KG path: id == rank by merged frequency,
+    two-phase exact rank — no single-partition window), dictionary joins
+    size-gated broadcasts."""
+    return _canonical(spark, sf_dir).edges
+
+
+def q_kg_canonical_vertices(spark, sf_dir):
+    """Canonical vertex table with merge provenance: (id, uri, freq,
+    srcs) where srcs is the sorted comma-joined set of source KGs whose
+    entities merged into the node ('kg1,kg2' for aligned pairs). The
+    provenance groupBy runs over the entity set, not the edge table."""
+    return _canonical(spark, sf_dir).vertices
+
+
+def q_triple_provenance(spark, sf_dir):
+    """Per-triple crawl provenance (extract.triple_provenance): each
+    namespaced (s,p,o) with distinct-page corroboration, mention count,
+    and its crawl-time [first_ts, last_ts] window from warc_ts — the
+    data-level lineage of the KG build (re-crawl freshness + evidence
+    strength). One groupBy on the same (s,p,o) key the plain
+    extraction's dedup shuffles on. The oracle regenerates warc_ts
+    analytically (epoch0 + doc_id — pages.py:20,100) and counts pages
+    as distinct doc_id (url is a bijection of doc_id)."""
+    from ontoea_spark.pipeline.extract import extract_pages_text, triple_provenance
+    from ontoea_spark.pipeline.pages import synthesize_pages
+
+    pages = synthesize_pages(_documents(spark, sf_dir))
+    tagged = split_two_kgs(extract_pages_text(pages))
+    return triple_provenance(tagged, namespace_col="kg")
+
+
 def q_ann_lsh_top1(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH bucket join (subquadratic
     candidate generation) + exact cosine re-rank, top-1 per query
@@ -1917,14 +1976,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # onto_compat_v1/seeded)
         "entity_link_top1": q_entity_link_top1,
         "link_accuracy": q_link_accuracy,
+        # canonicalization family (new this round): alignment links ->
+        # components -> rewrite -> unified dictionary -> edge/vertex
+        # tables (the north rule's "link and canonicalize" stage).
+        # Displaces extract_triples (extraction stays anchored by
+        # extract_fidelity + triple_pr, and the canonical chain re-derives
+        # the full extraction anyway), links_fixpoint and sup_cv_links
+        # (the links/filter family keeps gold_links, sup_triples_swap,
+        # cv_revision and predict_type_check in-window)
+        "kg_canonical_triples": q_kg_canonical_triples,
+        "kg_canonical_edges": q_kg_canonical_edges,
+        "kg_canonical_vertices": q_kg_canonical_vertices,
+        # triple-level crawl provenance (new this round) displaces
+        # onto_class_paths — ontology stays anchored by onto_compat_v1,
+        # onto_compat_seeded and class_complete_full in-window
+        "triple_provenance": q_triple_provenance,
         # --- keep-green anchors: one per SURVEY-§2 family (triple_pr is
         # the north-rule P/R evidence row and never rotates out) ------------
         "triple_pr": q_triple_pr,
         "extract_fidelity": q_extract_fidelity,
-        "extract_triples": q_extract_triples,
-        "links_fixpoint": q_links_fixpoint,
-        "sup_cv_links": q_sup_cv_links,
-        "onto_class_paths": q_onto_class_paths,
         "onto_compat_seeded": q_onto_compat_seeded,
         "class_complete_full": q_class_complete_full,
         # first-ever oracled check: V3 Gale-Shapley gained an unrolled-CTE
@@ -1933,6 +2003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== position 50: driver window ends here ========================
         # r4-green rotation pool (code unchanged since its green row;
         # rotates back next round per the policy above):
+        "extract_triples": q_extract_triples,
+        "links_fixpoint": q_links_fixpoint,
+        "sup_cv_links": q_sup_cv_links,
+        "onto_class_paths": q_onto_class_paths,
         "crawl_latest_snapshot": q_crawl_latest_snapshot,
         "ann_topk": q_ann_topk,
         "dedup_clusters": q_dedup_clusters,
@@ -2016,6 +2090,78 @@ SELECT DISTINCT e AS entity FROM (SELECT s AS e FROM allt UNION ALL SELECT o FRO
     sql["dict_freq_rank"] = f"""
 WITH {_TRIPLES_CTE}, {_RANK_CTE}
 SELECT elem, freq, rank FROM r1
+"""
+
+    # canonicalization family: the rewrite-by-left-join below equals the
+    # operator's component-minimum canonical on this input because the
+    # gold links are 1:1 bipartite and 'kg1:w' < 'kg2:w' — every
+    # component is exactly one pair and its minimum is the e1 member
+    # (chains/many-to-many are exercised by tests/test_canonicalize.py).
+    _CANON_CTE = """
+allt AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+ct AS (
+  SELECT DISTINCT coalesce(ls.e1, allt.s) AS s, allt.p AS p,
+                  coalesce(lo.e1, allt.o) AS o
+  FROM allt LEFT JOIN links ls ON allt.s = ls.e2
+            LEFT JOIN links lo ON allt.o = lo.e2
+)"""
+    _CANON_IDS_CTE = """
+ce AS (SELECT s AS elem FROM ct UNION ALL SELECT o FROM ct),
+cf AS (SELECT elem, CAST(count(*) AS BIGINT) AS freq FROM ce GROUP BY elem),
+cid AS (SELECT elem, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, elem DESC) - 1
+                    AS BIGINT) AS id
+        FROM cf)"""
+
+    sql["triple_provenance"] = f"""
+WITH mp AS (
+  SELECT doc_id,
+         CAST(1704067200 + doc_id AS BIGINT) AS ts,
+         CASE WHEN lang = 'en' THEN 'kg1' ELSE 'kg2' END AS kg,
+         unnest(regexp_extract_all(text, '{_PAT}', 1)) AS s,
+         unnest(regexp_extract_all(text, '{_PAT}', 2)) AS p,
+         unnest(regexp_extract_all(text, '{_PAT}', 3)) AS o
+  FROM documents
+)
+SELECT kg || ':' || s AS s, p, kg || ':' || o AS o,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(min(ts) AS BIGINT) AS first_ts,
+       CAST(max(ts) AS BIGINT) AS last_ts
+FROM mp
+GROUP BY kg || ':' || s, p, kg || ':' || o
+"""
+
+    sql["kg_canonical_triples"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE}, {_CANON_CTE}
+SELECT s, p, o FROM ct
+"""
+
+    sql["kg_canonical_edges"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE}, {_CANON_CTE}, {_CANON_IDS_CTE},
+cpf AS (SELECT p AS elem, CAST(count(*) AS BIGINT) AS freq FROM ct GROUP BY p),
+cpid AS (SELECT elem,
+                CAST(row_number() OVER (ORDER BY freq DESC, elem DESC) - 1
+                     AS BIGINT) AS id
+         FROM cpf)
+SELECT si.id AS s_id, pi.id AS p_id, oi.id AS o_id
+FROM ct JOIN cid si ON ct.s = si.elem
+        JOIN cpid pi ON ct.p = pi.elem
+        JOIN cid oi ON ct.o = oi.elem
+"""
+
+    sql["kg_canonical_vertices"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE}, {_CANON_CTE}, {_CANON_IDS_CTE},
+pe AS (SELECT DISTINCT e AS entity
+       FROM (SELECT s AS e FROM allt UNION ALL SELECT o FROM allt)),
+pv AS (SELECT coalesce(l.e1, pe.entity) AS uri,
+              split_part(pe.entity, ':', 1) AS src
+       FROM pe LEFT JOIN links l ON pe.entity = l.e2),
+prov AS (SELECT uri,
+                array_to_string(list_sort(list(DISTINCT src)), ',') AS srcs
+         FROM pv GROUP BY uri)
+SELECT cid.id AS id, cid.elem AS uri, cid.freq AS freq, prov.srcs AS srcs
+FROM cid JOIN prov ON cid.elem = prov.uri
 """
 
     # fixed-iteration PageRank: r0..r5 as chained CTEs, same update rule

@@ -279,3 +279,76 @@ def run_pipeline_checkpointed(
         "links": links,
         "_manager": cp,
     }
+
+
+def run_canonicalize_checkpointed(
+    build: dict,
+    links: DataFrame | None = None,
+    partitions: int = 32,
+) -> dict[str, DataFrame]:
+    """Canonicalization (pipeline/canonicalize.py) as resumable stages on
+    top of a completed :func:`run_pipeline_checkpointed` build:
+
+        canonical_map -> canonical_triples -> canonical dictionaries
+        -> canonical_edges (partitioned, s_id-repartitioned) /
+           canonical_vertices
+
+    ``links``: the (e1, e2) pair table to merge on — the build's own
+    gold links by default, or predicted matches from the alignment
+    stage (align_pipeline.predict_matches) plus train seeds. Each stage
+    reloads from its snapshot on resume, so a killed canonicalization
+    resumes without re-running the build OR the component iteration.
+    """
+    from ontoea_spark.operators.dictionary import encode_triples, single_kg_ids
+    from ontoea_spark.pipeline.canonicalize import (
+        canonical_entity_map,
+        rewrite_triples,
+        vertex_provenance,
+    )
+
+    cp: CheckpointManager = build["_manager"]
+    if links is None:
+        links = build["links"]
+    t = build["triples"].select("s", "p", "o")
+
+    cmap = cp.run_stage("canonical_map", lambda: canonical_entity_map(links))
+    canon = cp.run_stage(
+        "canonical_triples", lambda: rewrite_triples(t, cmap)
+    )
+    cent = cp.run_stage("canonical_ent_ids", lambda: single_kg_ids(canon))
+    crel = cp.run_stage(
+        "canonical_rel_ids", lambda: single_kg_ids(canon, roles=("p",))
+    )
+    cedges = cp.run_stage(
+        "canonical_edges",
+        lambda: encode_triples(canon, cent, crel),
+        repartition=(partitions, "s_id"),
+    )
+    if "rows_dropped" not in cp.manifest()["stages"].get("canonical_edges", {}):
+        cp.record_drop_metrics(
+            "canonical_edges", rows_in=canon.count(), rows_out=cedges.count()
+        )
+
+    def _vertices() -> DataFrame:
+        pre = (
+            t.select(F.col("s").alias("entity"))
+            .unionAll(t.select(F.col("o").alias("entity")))
+            .distinct()
+        )
+        prov = vertex_provenance(pre, cmap)
+        return (
+            cent.select(F.col("id"), F.col("elem").alias("uri"), F.col("freq"))
+            .join(prov, "uri")
+            .select("id", "uri", "freq", "srcs")
+        )
+
+    cverts = cp.run_stage("canonical_vertices", _vertices)
+    return {
+        "canonical_map": cmap,
+        "canonical_triples": canon,
+        "canonical_ent_ids": cent,
+        "canonical_rel_ids": crel,
+        "canonical_edges": cedges,
+        "canonical_vertices": cverts,
+        "_manager": cp,
+    }

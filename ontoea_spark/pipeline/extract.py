@@ -106,3 +106,54 @@ def extract_triples(
     else:
         m = m.select("s", "p", "o")
     return m.dropDuplicates()
+
+
+def triple_provenance(
+    pages_text: DataFrame,
+    text_col: str = "text",
+    namespace_col: str | None = None,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Per-triple crawl provenance: (s, p, o, n_pages, n_mentions,
+    first_ts, last_ts) — the data-level lineage of KG construction.
+
+    Every emitted triple carries how many distinct pages asserted it,
+    how many mentions total, and its crawl-time window (epoch seconds,
+    TZ-proof on both engines). first_ts/last_ts give re-crawl freshness
+    (which assertions are stale), n_pages gives corroboration (a
+    single-page triple is weaker evidence than a 50-page one) —
+    the triple-level analogue of the per-partition stage lineage in
+    pipeline/checkpoint.py.
+
+    Scale: ONE groupBy on (s, p, o) — the same shuffle key the plain
+    extraction's ``dropDuplicates`` already pays, so provenance replaces
+    the dedup rather than adding a pass; the aggregate is map-side
+    combinable (count / count-distinct-url partials / min / max). The
+    reference stores triples into plain sets and keeps no provenance
+    (read.py:219-236).
+    """
+    input_cols = [url_col, ts_col, text_col] + (
+        [namespace_col] if namespace_col else []
+    )
+    m = extract_mentions(pages_text.select(*input_cols), text_col)
+    if namespace_col is not None:
+        ns = F.col(namespace_col)
+        s_expr = F.concat(ns, F.lit(":"), F.col("s")).alias("s")
+        o_expr = F.concat(ns, F.lit(":"), F.col("o")).alias("o")
+    else:
+        s_expr, o_expr = F.col("s"), F.col("o")
+    epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
+    return (
+        m.select(
+            s_expr, F.col("p"), o_expr,
+            F.col(url_col).alias("_url"), epoch.alias("_ts"),
+        )
+        .groupBy("s", "p", "o")
+        .agg(
+            F.countDistinct("_url").alias("n_pages"),
+            F.count("*").alias("n_mentions"),
+            F.min("_ts").alias("first_ts"),
+            F.max("_ts").alias("last_ts"),
+        )
+    )

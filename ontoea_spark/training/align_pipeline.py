@@ -58,6 +58,10 @@ class AlignmentData:
     n_ent: int
     n_rel: int
     n_cls: int
+    # the (kg, elem, id) entity dictionary, kept so downstream consumers
+    # (predict_matches -> canonicalize) can map id-level predictions back
+    # to URIs; None for hand-built id-level fixtures
+    ent_dict: DataFrame | None = None
 
 
 def split_links(links_ids: DataFrame) -> DataFrame:
@@ -167,6 +171,7 @@ def prepare_from_parts(
         n_ent=ent_ids.count(),
         n_rel=rel_ids.count(),
         n_cls=n_cls,
+        ent_dict=ent_ids,
     )
 
 
@@ -388,6 +393,27 @@ def evaluate_candidates(
     ranks_vs_gold_candidates for the full bound semantics). Gold outside
     the pool scores rank k_cand + 1 (hits exact under the margin
     condition, MR lower / MRR upper bound)."""
+    reranked, test = _fused_reranked(
+        spark, data, model, split, gamma, type_mode, delay_weight, k_cand
+    )
+    gold = test.select(F.col("id1").alias("lid"), F.col("id2").alias("gold_rid"))
+    ranks = EV.ranks_vs_gold_candidates(reranked, gold, k_cand)
+    return EV.rank_metrics(ranks, top_k=top_k)
+
+
+def _fused_reranked(
+    spark: SparkSession,
+    data: AlignmentData,
+    model: OntoEATrainer,
+    split: str,
+    gamma: float,
+    type_mode: str,
+    delay_weight: float,
+    k_cand: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate chain of evaluate_candidates / predict_matches:
+    blocked exact top-k_cand by mapped inner product, J11 type fusion,
+    in-pool rerank. Returns (reranked[lid, rid, sim, rk], split_links)."""
     test = data.links_split.filter(F.col("split") == split)
     ids1 = np.array([r.id1 for r in test.select("id1").collect()], dtype=np.int64)
     ids2 = np.array([r.id2 for r in test.select("id2").collect()], dtype=np.int64)
@@ -402,9 +428,67 @@ def evaluate_candidates(
     fused = _fuse_type_scores(cands, data, compat, gamma)
     w = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
     reranked = fused.withColumn("rk", F.row_number().over(w).cast("long"))
-    gold = test.select(F.col("id1").alias("lid"), F.col("id2").alias("gold_rid"))
-    ranks = EV.ranks_vs_gold_candidates(reranked, gold, k_cand)
-    return EV.rank_metrics(ranks, top_k=top_k)
+    return reranked, test
+
+
+def predict_matches(
+    spark: SparkSession,
+    data: AlignmentData,
+    model: OntoEATrainer,
+    splits: tuple[str, ...] = ("valid", "test"),
+    gamma: float = 0.2,
+    type_mode: str = "compat",
+    delay_weight: float = 1.0,
+    k_cand: int = 50,
+) -> DataFrame:
+    """Predicted alignment pairs — the table canonicalization consumes.
+
+    For each left entity of the requested splits, the fused-score argmax
+    over its candidate pool (same chain as :func:`evaluate_candidates`,
+    nothing materializes |split|^2 rows). Returns URI pairs (e1, e2)
+    when ``data.ent_dict`` is present (prepare_from_parts keeps it),
+    id pairs (id1, id2) otherwise.
+
+    The reference never exports matches — evaluation is terminal there
+    (ontoea.py test loop); here predictions feed the north rule's
+    "link and canonicalize" stage (pipeline/canonicalize.py), with the
+    train-split seeds merged directly by the caller (they are known
+    alignments, not predictions)."""
+    parts = [
+        _fused_reranked(
+            spark, data, model, s, gamma, type_mode, delay_weight, k_cand
+        )[0].filter(F.col("rk") == 1)
+        for s in splits
+    ]
+    pred = parts[0]
+    for p in parts[1:]:
+        pred = pred.unionByName(p)
+    pred = pred.select(F.col("lid").alias("id1"), F.col("rid").alias("id2"))
+    if data.ent_dict is None:
+        return pred
+    d1 = data.ent_dict.filter("kg = 1").select(
+        F.col("id").alias("id1"), F.col("elem").alias("e1")
+    )
+    d2 = data.ent_dict.filter("kg = 2").select(
+        F.col("id").alias("id2"), F.col("elem").alias("e2")
+    )
+    return pred.join(d1, "id1").join(d2, "id2").select("e1", "e2")
+
+
+def seed_matches(data: AlignmentData) -> DataFrame:
+    """The train-split links as URI pairs (e1, e2) — known alignments the
+    canonicalization stage merges directly (no prediction involved).
+    Requires ``data.ent_dict``."""
+    if data.ent_dict is None:
+        raise ValueError("seed_matches needs data.ent_dict (URI dictionary)")
+    seeds = data.links_split.filter(F.col("split") == "train")
+    d1 = data.ent_dict.filter("kg = 1").select(
+        F.col("id").alias("id1"), F.col("elem").alias("e1")
+    )
+    d2 = data.ent_dict.filter("kg = 2").select(
+        F.col("id").alias("id2"), F.col("elem").alias("e2")
+    )
+    return seeds.join(d1, "id1").join(d2, "id2").select("e1", "e2")
 
 
 def run_alignment(

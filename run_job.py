@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> None:
         choices=["local", "local_hash", "spark"],
     )
     ap.add_argument("--align-k-cand", type=int, default=50)
+    # canonicalization stage (north rule: "link and canonicalize entities
+    # before materializing"): merges aligned entity clusters into one
+    # canonical node and re-encodes with a unified dictionary, written as
+    # resumable canonical_* stages under the same checkpoint dir. Merges
+    # on the build's gold links, or — when --align also ran — on the
+    # train seeds plus the model's predicted matches.
+    ap.add_argument("--canonicalize", action="store_true")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -80,10 +87,13 @@ def main(argv: list[str] | None = None) -> None:
         "seconds": round(secs, 3),
         "triples_per_sec": round(n_edges / secs, 1),
     }
+    merge_links = None  # None -> canonicalize on the build's gold links
     if args.align:
         from ontoea_spark.training.align_pipeline import (
             evaluate_candidates,
+            predict_matches,
             prepare_from_pages,
+            seed_matches,
             train,
         )
         from ontoea_spark.training.trainer import TrainConfig
@@ -108,6 +118,36 @@ def main(argv: list[str] | None = None) -> None:
             "hits10": m.hits10,
             "mrr": m.mrr,
             "seconds": round(time.perf_counter() - t1, 3),
+        }
+        if args.canonicalize:
+            # known seeds merge directly; valid/test merge on the
+            # model's fused-score argmax predictions. localCheckpoint
+            # truncates the candidate-chain lineage (blocked top-k +
+            # type fusion) so the component iteration downstream reads
+            # |links| materialized rows instead of re-deriving the
+            # whole prediction plan per round (OOMs a 1g driver)
+            merge_links = (
+                seed_matches(data)
+                .unionByName(
+                    predict_matches(spark, data, model, k_cand=args.align_k_cand)
+                )
+                .localCheckpoint(eager=True)
+            )
+    if args.canonicalize:
+        from ontoea_spark.pipeline.checkpoint import (
+            run_canonicalize_checkpointed,
+        )
+
+        t2 = time.perf_counter()
+        canon = run_canonicalize_checkpointed(
+            out, links=merge_links, partitions=args.partitions
+        )
+        result["canonical"] = {
+            "edges": canon["canonical_edges"].count(),
+            "vertices": canon["canonical_vertices"].count(),
+            "merged_entities": canon["canonical_map"].count(),
+            "link_source": "align" if merge_links is not None else "gold",
+            "seconds": round(time.perf_counter() - t2, 3),
         }
     print(json.dumps(result))
     spark.stop()

@@ -401,3 +401,50 @@ def test_evaluate_candidates_parity_and_vectorized_benchgen(
     ents = {r.s for r in t1} | {r.o for r in t1}
     assert all(e.startswith("kg1:e") for e in ents)
     assert b.links.count() == 200 and b.cv.count() == 400
+
+
+def test_predict_matches_feed_canonicalize(spark, bench_data, bench_model):
+    """predict_matches exports the fused-score argmax as URI pairs; on
+    the near-isomorphic benchmark (hits1 >= 0.9) predictions are mostly
+    the gold partner, seed_matches returns exactly the train gold, and
+    the union drives canonicalize_kg end-to-end (north-rule chain:
+    align -> link -> canonicalize)."""
+    from ontoea_spark.pipeline.canonicalize import canonicalize_kg
+    from ontoea_spark.training.align_pipeline import (
+        predict_matches,
+        seed_matches,
+    )
+
+    b = generate_two_kg(spark, n_ent=300, seed=42)
+    gold = {r.e1: r.e2 for r in b.links.collect()}
+
+    pred = predict_matches(spark, bench_data, bench_model)
+    rows = pred.collect()
+    n_eval = bench_data.links_split.filter("split != 'train'").count()
+    assert len(rows) == n_eval
+    acc = sum(gold.get(r.e1) == r.e2 for r in rows) / len(rows)
+    assert acc >= 0.85, acc
+
+    seeds = seed_matches(bench_data)
+    n_train = bench_data.links_split.filter("split = 'train'").count()
+    seed_rows = seeds.collect()
+    assert len(seed_rows) == n_train
+    assert all(gold[r.e1] == r.e2 for r in seed_rows)
+
+    merged = canonicalize_kg(
+        b.triples1, b.triples2, seeds.unionByName(pred)
+    )
+    # every kg2 entity that got a (seed or predicted) partner merged away:
+    # canonical vertex count = pre-merge entities - distinct merged pairs
+    n_pre = (
+        b.triples1.unionByName(b.triples2)
+        .selectExpr("s AS e").unionAll(
+            b.triples1.unionByName(b.triples2).selectExpr("o AS e")
+        ).distinct().count()
+    )
+    n_merged = merged.ent_ids.count()
+    assert n_merged < n_pre
+    # the merged graph still decodes: edges non-empty, ids dense 0..n-1
+    assert merged.edges.count() > 0
+    ids = sorted(r.id for r in merged.ent_ids.select("id").collect())
+    assert ids == list(range(n_merged))

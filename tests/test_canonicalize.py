@@ -1,0 +1,134 @@
+"""Canonicalization semantics the driver oracle can't reach: chained /
+many-to-many link sets (the oracle's gold links are 1:1 bipartite, so
+the left-join rewrite it uses only equals the component minimum on that
+input), the map broadcast gate, and the edge<->uri round trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ontoea_spark.pipeline.canonicalize import (
+    canonical_entity_map,
+    canonicalize_kg,
+    rewrite_triples,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_chain_components_min_canonical(spark):
+    """Many-to-many + chained links collapse transitively to the
+    component-min URI; identity rows are dropped from the map."""
+    links = spark.createDataFrame(
+        [
+            ("kg1:a", "kg2:x"),
+            ("kg1:b", "kg2:x"),  # many-to-one on kg2:x
+            ("kg1:b", "kg2:y"),  # chain continues through kg1:b
+            ("kg1:c", "kg2:y"),
+        ],
+        "e1 string, e2 string",
+    )
+    m = {r["entity"]: r["canonical"] for r in canonical_entity_map(links).collect()}
+    assert m == {
+        "kg1:b": "kg1:a",
+        "kg1:c": "kg1:a",
+        "kg2:x": "kg1:a",
+        "kg2:y": "kg1:a",
+    }
+
+
+def test_rewrite_collapses_parallel_edges(spark):
+    tri = spark.createDataFrame(
+        [("kg1:a", "p", "kg1:z"), ("kg1:b", "p", "kg1:z")],
+        "s string, p string, o string",
+    )
+    mapping = spark.createDataFrame(
+        [("kg1:b", "kg1:a")], "entity string, canonical string"
+    )
+    assert _rows(rewrite_triples(tri, mapping)) == [("kg1:a", "p", "kg1:z")]
+
+
+def test_rewrite_broadcast_gate(spark):
+    """The canonical map is O(merged entities) — potentially 10^8+ rows
+    on a crawl-scale link set — so the rewrite joins must drop the
+    broadcast hint past the threshold, with identical results."""
+    tri = spark.createDataFrame(
+        [("kg1:a", "p", "kg2:x"), ("kg2:x", "q", "kg1:b")],
+        "s string, p string, o string",
+    )
+    mapping = spark.createDataFrame(
+        [("kg2:x", "kg1:a")], "entity string, canonical string"
+    )
+
+    def _plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    hinted = rewrite_triples(tri, mapping)
+    gated = rewrite_triples(tri, mapping, broadcast_threshold=0)
+    assert "broadcast" in _plan(hinted), _plan(hinted)
+    assert "broadcast" not in _plan(gated), _plan(gated)
+    expect = [("kg1:a", "p", "kg1:a"), ("kg1:a", "q", "kg1:b")]
+    assert _rows(hinted) == _rows(gated) == expect
+
+
+def test_canonicalize_kg_end_to_end(spark):
+    t1 = spark.createDataFrame(
+        [("kg1:a", "p", "kg1:c"), ("kg1:b", "q", "kg1:a")],
+        "s string, p string, o string",
+    )
+    t2 = spark.createDataFrame(
+        [("kg2:x", "p", "kg2:w"), ("kg2:w", "q", "kg2:x")],
+        "s string, p string, o string",
+    )
+    links = spark.createDataFrame([("kg1:a", "kg2:x")], "e1 string, e2 string")
+    kg = canonicalize_kg(t1, t2, links)
+
+    canon = _rows(kg.triples)
+    assert canon == sorted(
+        [
+            ("kg1:a", "p", "kg1:c"),
+            ("kg1:b", "q", "kg1:a"),
+            ("kg1:a", "p", "kg2:w"),
+            ("kg2:w", "q", "kg1:a"),
+        ]
+    )
+
+    # unified dictionary: id == rank by merged frequency (freq desc,
+    # elem desc) — the merged node kg1:a ranks first with freq 4
+    ids = {r["elem"]: (r["freq"], r["id"]) for r in kg.ent_ids.collect()}
+    assert ids == {
+        "kg1:a": (4, 0),
+        "kg2:w": (2, 1),
+        "kg1:c": (1, 2),
+        "kg1:b": (1, 3),
+    }
+    rel = {r["elem"]: r["id"] for r in kg.rel_ids.collect()}
+    assert rel == {"q": 0, "p": 1}
+
+    assert _rows(kg.edges) == sorted([(0, 1, 2), (3, 0, 0), (0, 1, 1), (1, 0, 0)])
+
+    # decode round trip: edges joined back to the dictionaries reproduce
+    # the canonical triple set exactly
+    e = kg.ent_ids.select("elem", "id")
+    r = kg.rel_ids.select("elem", "id")
+    decoded = (
+        kg.edges.join(e.withColumnRenamed("id", "s_id"), "s_id")
+        .withColumnRenamed("elem", "s")
+        .join(r.withColumnRenamed("id", "p_id"), "p_id")
+        .withColumnRenamed("elem", "p")
+        .join(e.withColumnRenamed("id", "o_id"), "o_id")
+        .withColumnRenamed("elem", "o")
+        .select("s", "p", "o")
+    )
+    assert _rows(decoded) == canon
+
+    # provenance: the merged node carries both source KGs
+    verts = {r["uri"]: (r["id"], r["freq"], r["srcs"]) for r in kg.vertices.collect()}
+    assert verts == {
+        "kg1:a": (0, 4, "kg1,kg2"),
+        "kg2:w": (1, 2, "kg2"),
+        "kg1:c": (2, 1, "kg1"),
+        "kg1:b": (3, 1, "kg1"),
+    }

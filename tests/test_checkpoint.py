@@ -105,6 +105,9 @@ def test_spark_submit_pyfiles_job(tmp_path):
             # budget — this asserts wiring, not quality)
             "--align", "--align-epochs", "4", "--align-dim", "8",
             "--align-batch", "4096", "--align-gradient-mode", "local_hash",
+            # canonicalization on seeds + predicted matches (wiring, not
+            # quality — the 4-epoch model's predictions just need to flow)
+            "--canonicalize",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -119,3 +122,43 @@ def test_spark_submit_pyfiles_job(tmp_path):
     assert os.path.exists(os.path.join(cpdir, "_manifest.json"))
     assert stats["align"]["n_ent"] > 0
     assert 0.0 <= stats["align"]["hits1"] <= 1.0
+    assert stats["canonical"]["edges"] > 0
+    assert stats["canonical"]["link_source"] == "align"
+
+
+def test_canonicalize_checkpointed_resume(spark, pages, tmp_path):
+    """Canonical stages snapshot + resume like every other stage: merged
+    counts line up with the gold links, and a completed canonical_edges
+    is reloaded, never recomputed."""
+    from ontoea_spark.pipeline.checkpoint import (
+        CheckpointManager,
+        run_canonicalize_checkpointed,
+        run_pipeline_checkpointed,
+    )
+
+    base = str(tmp_path / "cpc")
+    build = run_pipeline_checkpointed(spark, pages, base, partitions=4)
+    canon = run_canonicalize_checkpointed(build, partitions=4)
+    # every gold pair merges exactly one entity away (1:1 bipartite)
+    assert canon["canonical_map"].count() == build["links"].count()
+    edges1 = [
+        tuple(r)
+        for r in canon["canonical_edges"].orderBy("s_id", "p_id", "o_id").collect()
+    ]
+    assert edges1
+    # canonical vertex count = pre-merge entities minus merged-away ones
+    n_pre = (
+        build["triples"].selectExpr("s AS e").unionAll(
+            build["triples"].selectExpr("o AS e")
+        ).distinct().count()
+    )
+    assert canon["canonical_vertices"].count() == n_pre - build["links"].count()
+
+    cp = CheckpointManager(spark, base)
+
+    def boom():
+        raise AssertionError("canonical stage recomputed despite checkpoint")
+
+    df = cp.run_stage("canonical_edges", boom)
+    edges2 = [tuple(r) for r in df.orderBy("s_id", "p_id", "o_id").collect()]
+    assert edges1 == edges2
