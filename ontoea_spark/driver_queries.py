@@ -1317,6 +1317,29 @@ def q_triple_provenance(spark, sf_dir):
     return triple_provenance(tagged, namespace_col="kg")
 
 
+def q_canonical_provenance(spark, sf_dir):
+    """Provenance THROUGH canonicalization: each canonical (s,p,o) with
+    its merged evidence — distinct-page corroboration, mention count,
+    crawl-time window — after aligned entities collapse. The rewrite
+    runs at mention level BEFORE the one (s,p,o) aggregate, so n_pages
+    stays an exact distinct count when two pre-merge triple variants
+    collapse into one canonical fact (a naive sum of per-triple page
+    counts would overcount their shared pages). Oracle: the same
+    mention regeneration as triple_provenance, rewritten by left joins
+    against the gold links (≡ component min on this 1:1 bipartite
+    input), then one GROUP BY."""
+    from ontoea_spark.pipeline.canonicalize import canonical_triple_provenance
+    from ontoea_spark.pipeline.extract import extract_pages_text
+    from ontoea_spark.pipeline.kg_build import split_two_kgs
+    from ontoea_spark.pipeline.pages import synthesize_pages
+
+    pages = synthesize_pages(_documents(spark, sf_dir))
+    tagged = split_two_kgs(extract_pages_text(pages))
+    return canonical_triple_provenance(
+        tagged, _canonical(spark, sf_dir).mapping, namespace_col="kg"
+    )
+
+
 def q_ann_lsh_top1(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH bucket join (subquadratic
     candidate generation) + exact cosine re-rank, top-1 per query
@@ -1991,11 +2014,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # onto_class_paths — ontology stays anchored by onto_compat_v1,
         # onto_compat_seeded and class_complete_full in-window
         "triple_provenance": q_triple_provenance,
+        # provenance through canonicalization (new this round) displaces
+        # onto_compat_seeded — ontology stays anchored by onto_compat_v1
+        # and class_complete_full in-window
+        "canonical_provenance": q_canonical_provenance,
         # --- keep-green anchors: one per SURVEY-§2 family (triple_pr is
         # the north-rule P/R evidence row and never rotates out) ------------
         "triple_pr": q_triple_pr,
         "extract_fidelity": q_extract_fidelity,
-        "onto_compat_seeded": q_onto_compat_seeded,
         "class_complete_full": q_class_complete_full,
         # first-ever oracled check: V3 Gale-Shapley gained an unrolled-CTE
         # replay oracle this round (was rows-only since r1)
@@ -2007,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_fixpoint": q_links_fixpoint,
         "sup_cv_links": q_sup_cv_links,
         "onto_class_paths": q_onto_class_paths,
+        "onto_compat_seeded": q_onto_compat_seeded,
         "crawl_latest_snapshot": q_crawl_latest_snapshot,
         "ann_topk": q_ann_topk,
         "dedup_clusters": q_dedup_clusters,
@@ -2130,6 +2157,33 @@ SELECT kg || ':' || s AS s, p, kg || ':' || o AS o,
        CAST(max(ts) AS BIGINT) AS last_ts
 FROM mp
 GROUP BY kg || ':' || s, p, kg || ':' || o
+"""
+
+    sql["canonical_provenance"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE},
+mp AS (
+  SELECT doc_id,
+         CAST(1704067200 + doc_id AS BIGINT) AS ts,
+         CASE WHEN lang = 'en' THEN 'kg1' ELSE 'kg2' END AS kg,
+         unnest(regexp_extract_all(text, '{_PAT}', 1)) AS s,
+         unnest(regexp_extract_all(text, '{_PAT}', 2)) AS p,
+         unnest(regexp_extract_all(text, '{_PAT}', 3)) AS o
+  FROM documents
+),
+mn AS (SELECT kg || ':' || s AS s, p, kg || ':' || o AS o, doc_id, ts FROM mp),
+cm AS (
+  SELECT coalesce(ls.e1, mn.s) AS s, mn.p AS p, coalesce(lo.e1, mn.o) AS o,
+         doc_id, ts
+  FROM mn LEFT JOIN links ls ON mn.s = ls.e2
+          LEFT JOIN links lo ON mn.o = lo.e2
+)
+SELECT s, p, o,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(min(ts) AS BIGINT) AS first_ts,
+       CAST(max(ts) AS BIGINT) AS last_ts
+FROM cm
+GROUP BY s, p, o
 """
 
     sql["kg_canonical_triples"] = f"""

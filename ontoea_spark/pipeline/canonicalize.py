@@ -59,6 +59,7 @@ class CanonicalKG:
     rel_ids: DataFrame
     edges: DataFrame  # (s_id, p_id, o_id)
     vertices: DataFrame  # (id, uri, freq, srcs)
+    mapping: DataFrame | None = None  # (entity, canonical), non-identity rows
 
 
 def canonical_entity_map(
@@ -88,6 +89,42 @@ def canonical_entity_map(
     )
 
 
+def _prepared_map(
+    mapping: DataFrame, broadcast_threshold: int
+) -> tuple[DataFrame, bool]:
+    """Materialize the map once (it feeds several joins) and decide the
+    broadcast gate from its actual row count."""
+    mapping = mapping.localCheckpoint(eager=True)
+    return mapping, mapping.count() <= broadcast_threshold
+
+
+def _rewrite_so(df: DataFrame, mapping: DataFrame, small: bool) -> DataFrame:
+    """Rewrite the s/o columns of ``df`` through the canonical map via
+    two gated-broadcast left joins, preserving every other column."""
+    ms = _gated_broadcast(
+        mapping.select(
+            F.col("entity").alias("s"), F.col("canonical").alias("s_canon")
+        ),
+        small,
+    )
+    mo = _gated_broadcast(
+        mapping.select(
+            F.col("entity").alias("o"), F.col("canonical").alias("o_canon")
+        ),
+        small,
+    )
+    other = [c for c in df.columns if c not in ("s", "o")]
+    return (
+        df.join(ms, "s", "left")
+        .join(mo, "o", "left")
+        .select(
+            F.coalesce("s_canon", "s").alias("s"),
+            *[F.col(c) for c in other],
+            F.coalesce("o_canon", "o").alias("o"),
+        )
+    )
+
+
 def rewrite_triples(
     triples: DataFrame,
     mapping: DataFrame,
@@ -101,36 +138,43 @@ def rewrite_triples(
     edges collapse when their endpoints merge). Predicates are left
     untouched: entity alignment merges nodes, not relations.
     """
-    mapping = mapping.localCheckpoint(eager=True)
-    small = mapping.count() <= broadcast_threshold
-    ms = _gated_broadcast(
-        mapping.select(
-            F.col("entity").alias("s"), F.col("canonical").alias("s_canon")
-        ),
-        small,
-    )
-    mo = _gated_broadcast(
-        mapping.select(
-            F.col("entity").alias("o"), F.col("canonical").alias("o_canon")
-        ),
-        small,
-    )
-    return (
-        triples.join(ms, "s", "left")
-        .join(mo, "o", "left")
-        .select(
-            F.coalesce("s_canon", "s").alias("s"),
-            F.col("p"),
-            F.coalesce("o_canon", "o").alias("o"),
-        )
-        .distinct()
-    )
+    mapping, small = _prepared_map(mapping, broadcast_threshold)
+    return _rewrite_so(triples, mapping, small).select("s", "p", "o").distinct()
+
+
+def canonical_triple_provenance(
+    pages_text: DataFrame,
+    mapping: DataFrame,
+    text_col: str = "text",
+    namespace_col: str | None = None,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
+) -> DataFrame:
+    """Crawl provenance of the CANONICAL graph: every canonical (s,p,o)
+    with exact distinct-page corroboration, mention count, and crawl-time
+    window — merged entities pool their evidence.
+
+    The rewrite runs at MENTION level, before the one (s,p,o) aggregate
+    (extract.provenance_mentions -> _rewrite_so -> provenance_agg):
+    summing the pre-merge triples' per-triple page counts instead would
+    overcount any page that asserts two variants of the same canonical
+    fact. Same single shuffle as extract.triple_provenance — the two
+    rewrite joins are gated broadcasts against the O(merged) map, and
+    min/max/count partials stay map-side combinable.
+    """
+    from ontoea_spark.pipeline.extract import provenance_agg, provenance_mentions
+
+    m = provenance_mentions(pages_text, text_col, namespace_col, url_col, ts_col)
+    mapping, small = _prepared_map(mapping, broadcast_threshold)
+    return provenance_agg(_rewrite_so(m, mapping, small))
 
 
 def vertex_provenance(
     entities: DataFrame,
     mapping: DataFrame,
     broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
+    small: bool | None = None,
 ) -> DataFrame:
     """(canonical uri -> srcs): which source KGs merged into each node.
 
@@ -140,7 +184,8 @@ def vertex_provenance(
     merged node, single-prefix otherwise. One groupBy over the entity
     set (not the edge table).
     """
-    small = mapping.count() <= broadcast_threshold
+    if small is None:
+        small = mapping.count() <= broadcast_threshold
     m = _gated_broadcast(
         mapping.select(
             F.col("entity"), F.col("canonical")
@@ -158,6 +203,44 @@ def vertex_provenance(
     )
 
 
+def materialize_canonical(
+    edges: DataFrame,
+    vertices: DataFrame,
+    base_path: str,
+    table_prefix: str = "canonical",
+    n_buckets: int = 32,
+) -> dict[str, str]:
+    """Materialize the canonical graph as the product tables downstream
+    consumers read — the north rule's "materializing the graph as
+    partitioned edge/vertex tables".
+
+    Edges are written bucketed+sorted by ``s_id`` and vertices by ``id``
+    (sources/tables.write_bucketed), so the standing graph workloads —
+    out-adjacency joins, degree aggregates, vertex-attribute lookups on
+    the entity id — read co-located buckets and skip their shuffle
+    entirely (zero-Exchange plans asserted in tests/test_canonicalize.py).
+    Pay one clustered write at build time, save a shuffle on every
+    downstream join of every consumer. Iceberg's analogue is a
+    ``bucket(n, id)`` partition transform behind the same call
+    (sources/tables.py module docstring has the submit recipe).
+
+    Returns ``{"edges": <table>, "vertices": <table>}`` catalog names.
+    """
+    from ontoea_spark.sources.tables import write_bucketed
+
+    names = {
+        "edges": f"{table_prefix}_edges",
+        "vertices": f"{table_prefix}_vertices",
+    }
+    write_bucketed(
+        edges, names["edges"], f"{base_path}/edges", ("s_id",), n_buckets
+    )
+    write_bucketed(
+        vertices, names["vertices"], f"{base_path}/vertices", ("id",), n_buckets
+    )
+    return names
+
+
 def canonicalize_kg(
     triples1: DataFrame,
     triples2: DataFrame,
@@ -173,10 +256,13 @@ def canonicalize_kg(
     exactly the property the downstream adjacency/degree consumers want.
     """
     all_t = triples1.unionByName(triples2)
-    mapping = canonical_entity_map(links)
-    canon = rewrite_triples(
-        all_t, mapping, broadcast_threshold
-    ).localCheckpoint(eager=True)
+    mapping, small = _prepared_map(canonical_entity_map(links), broadcast_threshold)
+    canon = (
+        _rewrite_so(all_t, mapping, small)
+        .select("s", "p", "o")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ent_ids = single_kg_ids(canon).localCheckpoint(eager=True)
     rel_ids = single_kg_ids(canon, roles=("p",)).localCheckpoint(eager=True)
     edges = encode_triples(canon, ent_ids, rel_ids, broadcast_threshold)
@@ -185,7 +271,7 @@ def canonicalize_kg(
         .unionAll(all_t.select(F.col("o").alias("entity")))
         .distinct()
     )
-    prov = vertex_provenance(pre_entities, mapping, broadcast_threshold)
+    prov = vertex_provenance(pre_entities, mapping, broadcast_threshold, small)
     vertices = ent_ids.select(
         F.col("id"), F.col("elem").alias("uri"), F.col("freq")
     ).join(prov, "uri").select("id", "uri", "freq", "srcs")
@@ -195,4 +281,5 @@ def canonicalize_kg(
         rel_ids=rel_ids,
         edges=edges,
         vertices=vertices,
+        mapping=mapping,
     )

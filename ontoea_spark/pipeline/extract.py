@@ -133,6 +133,23 @@ def triple_provenance(
     reference stores triples into plain sets and keeps no provenance
     (read.py:219-236).
     """
+    return provenance_agg(
+        provenance_mentions(pages_text, text_col, namespace_col, url_col, ts_col)
+    )
+
+
+def provenance_mentions(
+    pages_text: DataFrame,
+    text_col: str = "text",
+    namespace_col: str | None = None,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Mention-level provenance rows (s, p, o, _url, _ts) — one row per
+    detected mention, carrying the asserting page and its crawl epoch.
+    The seam canonicalization needs: rewriting s/o HERE (before the
+    aggregate) keeps n_pages an exact distinct count when several
+    pre-merge triples collapse into one canonical assertion."""
     input_cols = [url_col, ts_col, text_col] + (
         [namespace_col] if namespace_col else []
     )
@@ -144,16 +161,17 @@ def triple_provenance(
     else:
         s_expr, o_expr = F.col("s"), F.col("o")
     epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
-    return (
-        m.select(
-            s_expr, F.col("p"), o_expr,
-            F.col(url_col).alias("_url"), epoch.alias("_ts"),
-        )
-        .groupBy("s", "p", "o")
-        .agg(
-            F.countDistinct("_url").alias("n_pages"),
-            F.count("*").alias("n_mentions"),
-            F.min("_ts").alias("first_ts"),
-            F.max("_ts").alias("last_ts"),
-        )
+    return m.select(
+        s_expr, F.col("p"), o_expr,
+        F.col(url_col).alias("_url"), epoch.alias("_ts"),
+    )
+
+
+def provenance_agg(mentions: DataFrame) -> DataFrame:
+    """The one (s,p,o) aggregate over mention-level provenance rows."""
+    return mentions.groupBy("s", "p", "o").agg(
+        F.countDistinct("_url").alias("n_pages"),
+        F.count("*").alias("n_mentions"),
+        F.min("_ts").alias("first_ts"),
+        F.max("_ts").alias("last_ts"),
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -142,11 +143,20 @@ def main(argv: list[str] | None = None) -> None:
         canon = run_canonicalize_checkpointed(
             out, links=merge_links, partitions=args.partitions
         )
+        from ontoea_spark.pipeline.canonicalize import materialize_canonical
+
+        tables = materialize_canonical(
+            canon["canonical_edges"],
+            canon["canonical_vertices"],
+            base_path=os.path.join(args.checkpoint_dir, "canonical_tables"),
+            n_buckets=args.partitions,
+        )
         result["canonical"] = {
             "edges": canon["canonical_edges"].count(),
             "vertices": canon["canonical_vertices"].count(),
             "merged_entities": canon["canonical_map"].count(),
             "link_source": "align" if merge_links is not None else "gold",
+            "tables": tables,
             "seconds": round(time.perf_counter() - t2, 3),
         }
     print(json.dumps(result))

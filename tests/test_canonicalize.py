@@ -73,6 +73,95 @@ def test_rewrite_broadcast_gate(spark):
     assert _rows(hinted) == _rows(gated) == expect
 
 
+def test_materialize_canonical_colocated_consumers(spark, tmp_path):
+    """The materialized canonical tables are the graph product: edges
+    bucketed by s_id, vertices by id, so the standing consumer plans —
+    out-degree aggregate, vertex-attribute-to-edge join — run with ZERO
+    Exchange operators, and the read-back content round-trips exactly."""
+    from ontoea_spark.pipeline.canonicalize import (
+        canonicalize_kg,
+        materialize_canonical,
+    )
+
+    t1 = spark.createDataFrame(
+        [(f"kg1:e{i}", "p", f"kg1:e{(i + 1) % 40}") for i in range(40)],
+        "s string, p string, o string",
+    )
+    t2 = spark.createDataFrame(
+        [(f"kg2:e{i}", "q", f"kg2:e{(i + 3) % 40}") for i in range(40)],
+        "s string, p string, o string",
+    )
+    links = spark.createDataFrame(
+        [(f"kg1:e{i}", f"kg2:e{i}") for i in range(0, 40, 2)],
+        "e1 string, e2 string",
+    )
+    kg = canonicalize_kg(t1, t2, links)
+    names = materialize_canonical(
+        kg.edges, kg.vertices, str(tmp_path / "tables"),
+        table_prefix="tcanon", n_buckets=4,
+    )
+    try:
+        e = spark.table(names["edges"])
+        v = spark.table(names["vertices"])
+        assert _rows(e) == _rows(kg.edges)
+        assert _rows(v) == _rows(kg.vertices)
+
+        deg = e.groupBy("s_id").count()
+        plan = deg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = v.join(e, v.id == e.s_id)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            assert j.count() == kg.edges.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_canonical_provenance_exact_page_counts(spark):
+    """The mention-level rewrite keeps n_pages an exact distinct count:
+    a page asserting two variants of the same canonical fact counts
+    once, where summing the pre-merge triples' page counts would count
+    it twice."""
+    from datetime import datetime
+
+    from ontoea_spark.pipeline.canonicalize import canonical_triple_provenance
+    from ontoea_spark.pipeline.extract import triple_provenance
+
+    pages = spark.createDataFrame(
+        [
+            # u1 asserts BOTH the canonical form and a pre-merge variant
+            ("u1", datetime(2024, 1, 1), "customer join table and part join table"),
+            ("u2", datetime(2024, 1, 2), "customer join table"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    mapping = spark.createDataFrame(
+        [("part", "customer")], "entity string, canonical string"
+    )
+    rows = {
+        (r.s, r.p, r.o): (r.n_pages, r.n_mentions, r.first_ts, r.last_ts)
+        for r in canonical_triple_provenance(pages, mapping).collect()
+    }
+    assert rows == {
+        ("customer", "join", "table"): (2, 3, 1704067200, 1704153600)
+    }
+    # the naive alternative (merge AFTER the per-triple aggregate, summing
+    # n_pages) would report 3 pages for the same fact — u1 double-counted
+    pre = {
+        (r.s, r.p, r.o): r.n_pages for r in triple_provenance(pages).collect()
+    }
+    assert (
+        pre[("customer", "join", "table")] + pre[("part", "join", "table")] == 3
+    )
+
+
 def test_canonicalize_kg_end_to_end(spark):
     t1 = spark.createDataFrame(
         [("kg1:a", "p", "kg1:c"), ("kg1:b", "q", "kg1:a")],

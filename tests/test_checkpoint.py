@@ -124,6 +124,13 @@ def test_spark_submit_pyfiles_job(tmp_path):
     assert 0.0 <= stats["align"]["hits1"] <= 1.0
     assert stats["canonical"]["edges"] > 0
     assert stats["canonical"]["link_source"] == "align"
+    # the bucketed graph-product tables were written under the checkpoint
+    assert stats["canonical"]["tables"] == {
+        "edges": "canonical_edges",
+        "vertices": "canonical_vertices",
+    }
+    assert os.path.isdir(os.path.join(cpdir, "canonical_tables", "edges"))
+    assert os.path.isdir(os.path.join(cpdir, "canonical_tables", "vertices"))
 
 
 def test_canonicalize_checkpointed_resume(spark, pages, tmp_path):
