@@ -203,6 +203,140 @@ def vertex_provenance(
     )
 
 
+@dataclass
+class CanonicalDelta:
+    """One incremental canonicalization commit. ``triples``/``mapping``
+    are the updated full views (lazy plans over the previous state);
+    the remaining frames are the O(delta)/O(affected) change sets an
+    append-only or merge-on-read sink commits instead of rewriting the
+    world."""
+
+    triples: DataFrame            # updated canonical triple set
+    mapping: DataFrame            # updated flat (entity -> canonical) map
+    remap: DataFrame              # (entity, canonical): delta component result —
+                                  # keys are former canonicals/singletons/new nodes
+    novel_triples: DataFrame      # canonical rows absent from the previous set
+    retracted_triples: DataFrame  # previous rows whose canonical form changed
+    changed_map_rows: DataFrame   # map rows added or rewritten this batch
+
+
+def ingest_canonical_batch(
+    triples: DataFrame,
+    mapping: DataFrame,
+    delta_triples: DataFrame,
+    delta_links: DataFrame,
+    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
+) -> CanonicalDelta:
+    """Extend a canonical graph with a batch of new triples + alignment
+    links WITHOUT re-running global connected components — the crawl
+    grows by deltas, and re-canonicalizing 10^12 edges per batch is not
+    a plan.
+
+    Equality contract (tested): the result is EXACTLY the full rebuild
+    ``canonicalize_kg``-style rewrite over (triples ∪ delta) with
+    (links ∪ delta links) — including batches whose links merge two
+    existing components or make a brand-new entity the component
+    minimum.
+
+    Why it's correct: the stored canonical is the MIN of its component,
+    so resolving the delta links' endpoints through the existing map
+    and running components over the RESOLVED delta only (O(batch) —
+    never the full link set) yields, per delta component, members that
+    are old component minima / singletons / new entities; the minimum
+    of those equals the merged component's global minimum. The result
+    (``remap``) is then (a) unioned into the map and (b) applied to old
+    map rows / old triples whose canonical lost its status.
+
+    Shapes at scale: component iteration O(batch); the map update is
+    one broadcast join over the map (scan, no shuffle — remap is
+    O(batch) rows); the old-triple rewrite is one broadcast join over
+    the edge table (scan, no shuffle) emitting O(affected) changed
+    rows; the novel-row anti-join shuffles only (delta + affected) rows
+    against the corpus index (bucketed corpus makes it one-sided).
+    Disjoint keys by construction: map keys are never canonicals, remap
+    keys never map keys, so the unions need no dedup.
+    """
+    mapping, msmall = _prepared_map(mapping, broadcast_threshold)
+
+    # 1. resolve delta link endpoints through the existing map, then
+    #    components over the resolved O(batch) link set only
+    resolved = _rewrite_so(
+        delta_links.select(F.col("e1").alias("s"), F.col("e2").alias("o")),
+        mapping,
+        msmall,
+    ).select(F.col("s").alias("e1"), F.col("o").alias("e2"))
+    remap = canonical_entity_map(resolved).localCheckpoint(eager=True)
+
+    # 2. map maintenance: rows whose canonical lost its status follow it
+    #    to the new minimum; the remap rows join the map themselves
+    rm = F.broadcast(
+        remap.select(
+            F.col("entity").alias("canonical"), F.col("canonical").alias("new_c")
+        )
+    )
+    moved = (
+        mapping.join(rm, "canonical")
+        .select("entity", F.col("new_c").alias("canonical"))
+        .localCheckpoint(eager=True)
+    )
+    kept = mapping.join(rm.select("canonical"), "canonical", "left_anti").select(
+        "entity", "canonical"
+    )
+    changed_map_rows = moved.unionByName(remap)
+    mapping2 = kept.unionByName(changed_map_rows).localCheckpoint(eager=True)
+
+    # 3. old triples touched by the remap: rewrite via broadcast joins,
+    #    keeping the pre-image so the changed rows surface as explicit
+    #    retract/insert pairs (merge-on-read commit unit)
+    rs = F.broadcast(
+        remap.select(F.col("entity").alias("s"), F.col("canonical").alias("s_new"))
+    )
+    ro = F.broadcast(
+        remap.select(F.col("entity").alias("o"), F.col("canonical").alias("o_new"))
+    )
+    marked = triples.join(rs, "s", "left").join(ro, "o", "left")
+    touched = marked.filter(
+        F.col("s_new").isNotNull() | F.col("o_new").isNotNull()
+    ).localCheckpoint(eager=True)
+    retracted = touched.select("s", "p", "o")
+    rewritten_old = touched.select(
+        F.coalesce("s_new", "s").alias("s"),
+        F.col("p"),
+        F.coalesce("o_new", "o").alias("o"),
+    ).distinct()
+
+    # 4. delta triples rewrite through the UPDATED map, then the novel
+    #    view: candidates are O(delta + affected) rows, anti-joined
+    #    against the previous corpus
+    mapping2_small = (
+        mapping2.count() <= broadcast_threshold
+    )
+    new_canon = (
+        _rewrite_so(delta_triples, mapping2, mapping2_small)
+        .select("s", "p", "o")
+        .distinct()
+    )
+    candidates = rewritten_old.unionByName(new_canon).distinct()
+    novel = candidates.join(triples, ["s", "p", "o"], "left_anti")
+
+    updated_triples = (
+        triples.join(
+            touched.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
+        )
+        .unionByName(rewritten_old)
+        .unionByName(new_canon)
+        .distinct()
+    )
+    return CanonicalDelta(
+        triples=updated_triples,
+        mapping=mapping2,
+        remap=remap,
+        novel_triples=novel,
+        retracted_triples=retracted,
+        changed_map_rows=changed_map_rows,
+    )
+
+
 def materialize_canonical(
     edges: DataFrame,
     vertices: DataFrame,

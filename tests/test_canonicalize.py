@@ -73,6 +73,75 @@ def test_rewrite_broadcast_gate(spark):
     assert _rows(hinted) == _rows(gated) == expect
 
 
+def test_ingest_canonical_batch_equals_rebuild(spark):
+    """Incremental canonicalization ≡ full rebuild, on a batch that
+    exercises the two hard merge shapes: a delta link that merges TWO
+    existing components (kg2:x–kg2:y resolves to kg1:a–kg1:b), and a
+    brand-new entity that becomes the merged component's new minimum
+    (aa:z < kg1:a), which forces old map rows AND old triples to follow
+    the dethroned canonical."""
+    from ontoea_spark.pipeline.canonicalize import (
+        canonical_entity_map,
+        ingest_canonical_batch,
+        rewrite_triples,
+    )
+
+    t_init = spark.createDataFrame(
+        [
+            ("kg1:a", "p", "kg1:c"),
+            ("kg1:b", "q", "kg1:a"),
+            ("kg2:x", "p", "kg2:w"),
+            ("kg2:y", "q", "kg2:x"),
+        ],
+        "s string, p string, o string",
+    )
+    l_init = spark.createDataFrame(
+        [("kg1:a", "kg2:x"), ("kg1:b", "kg2:y")], "e1 string, e2 string"
+    )
+    dt = spark.createDataFrame(
+        [("kg3:n0", "p", "kg2:w"), ("kg1:c", "r", "aa:z")],
+        "s string, p string, o string",
+    )
+    dl = spark.createDataFrame(
+        [("kg2:x", "kg2:y"), ("aa:z", "kg1:a")], "e1 string, e2 string"
+    )
+
+    base_map = canonical_entity_map(l_init).localCheckpoint(eager=True)
+    base_triples = rewrite_triples(t_init, base_map).localCheckpoint(eager=True)
+    delta = ingest_canonical_batch(base_triples, base_map, dt, dl)
+
+    full_map = canonical_entity_map(l_init.unionByName(dl))
+    full_triples = rewrite_triples(t_init.unionByName(dt), full_map)
+    assert _rows(delta.triples) == _rows(full_triples)
+    assert _rows(delta.mapping) == _rows(full_map)
+    # the change-set algebra a merge-on-read sink relies on:
+    # updated = (previous \ retracted) ∪ novel
+    prev = set(_rows(base_triples))
+    assert set(_rows(delta.triples)) == (
+        prev - set(_rows(delta.retracted_triples))
+    ) | set(_rows(delta.novel_triples))
+    # the dethroned canonical's dependents followed it
+    m = dict(_rows(delta.mapping))
+    assert m == {
+        "kg1:a": "aa:z",
+        "kg1:b": "aa:z",
+        "kg2:x": "aa:z",
+        "kg2:y": "aa:z",
+    }
+
+    # replay idempotence: same batch again commits nothing
+    again = ingest_canonical_batch(
+        delta.triples.localCheckpoint(eager=True),
+        delta.mapping,
+        dt,
+        dl,
+    )
+    assert again.novel_triples.count() == 0
+    assert again.retracted_triples.count() == 0
+    assert again.changed_map_rows.count() == 0
+    assert _rows(again.triples) == _rows(delta.triples)
+
+
 def test_materialize_canonical_colocated_consumers(spark, tmp_path):
     """The materialized canonical tables are the graph product: edges
     bucketed by s_id, vertices by id, so the standing consumer plans —
