@@ -316,3 +316,122 @@ def compact_host_graph(spark, state_dir: str) -> int:
         shutil.rmtree(os.path.join(state_dir, f"v{v}"))
     os.rename(tmp, os.path.join(state_dir, f"v{vmax}"))
     return vmax
+
+
+# ---------------------------------------------------------------------------
+# streaming canonical graph: merge-on-read insert/delete log
+# ---------------------------------------------------------------------------
+#
+# Canonicalization state is NOT an additive monoid (a batch whose links
+# dethrone a canonical RETRACTS previously-committed rows), so the
+# host-graph partial-sum trick doesn't apply. The versioned-delta layout
+# still does: each batch commits its CanonicalDelta change sets as an
+# insert/delete log (``triple_log``: s,p,o,op,v) plus latest-wins map
+# rows (``map_log``: entity,canonical,v) — exactly Iceberg's
+# merge-on-read delete files. Commit cost is O(delta + affected); the
+# merged view is ONE groupBy (max_by over the version) per table at read
+# time; a crash-replay re-reads strictly below its own version and
+# overwrites only its own dir, so replays are idempotent.
+
+_CANON_TABLES = ("triple_log", "map_log")
+TRIPLE_LOG_SCHEMA = "s string, p string, o string, op string, v long"
+MAP_LOG_SCHEMA = "entity string, canonical string, v long"
+
+
+def read_canonical_state(
+    spark, state_dir: str, before: int | None = None
+) -> tuple[DataFrame, DataFrame] | None:
+    """(triples, mapping) from the log: the latest op per (s,p,o) wins
+    (a delete tombstone drops the row), the latest canonical per entity
+    wins. None before the first commit."""
+    versions = _committed_versions(state_dir, tables=_CANON_TABLES)
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
+        return None
+    tl = spark.read.parquet(
+        *[os.path.join(state_dir, f"v{v}", "triple_log") for v in versions]
+    )
+    ml = spark.read.parquet(
+        *[os.path.join(state_dir, f"v{v}", "map_log") for v in versions]
+    )
+    triples = (
+        tl.groupBy("s", "p", "o")
+        .agg(F.max_by("op", "v").alias("op"))
+        .filter(F.col("op") == "insert")
+        .select("s", "p", "o")
+    )
+    mapping = ml.groupBy("entity").agg(
+        F.max_by("canonical", "v").alias("canonical")
+    )
+    return triples, mapping
+
+
+def ingest_canonical_stream_batch(
+    spark,
+    delta_triples: DataFrame,
+    delta_links: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """foreachBatch body for streaming canonicalization: fold this
+    batch's (triples, links) into the canonical graph via
+    ``pipeline.canonicalize.ingest_canonical_batch`` and commit ONLY the
+    change sets. The first batch bootstraps with a plain canonical
+    rewrite (everything inserts)."""
+    from ontoea_spark.pipeline.canonicalize import (
+        canonical_entity_map,
+        ingest_canonical_batch,
+        rewrite_triples,
+    )
+
+    state = read_canonical_state(spark, state_dir, before=batch_id)
+    if state is None:
+        mapping = canonical_entity_map(delta_links).localCheckpoint(eager=True)
+        novel = rewrite_triples(delta_triples, mapping)
+        retracted = spark.createDataFrame([], "s string, p string, o string")
+        changed_map = mapping
+    else:
+        cur_t, cur_m = state
+        cur_t = cur_t.localCheckpoint(eager=True)
+        d = ingest_canonical_batch(cur_t, cur_m, delta_triples, delta_links)
+        novel, retracted, changed_map = (
+            d.novel_triples,
+            d.retracted_triples,
+            d.changed_map_rows,
+        )
+    base = os.path.join(state_dir, f"v{batch_id}")
+    log = novel.withColumn("op", F.lit("insert")).unionByName(
+        retracted.withColumn("op", F.lit("delete"))
+    )
+    log.withColumn("v", F.lit(batch_id).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "triple_log"))
+    changed_map.withColumn("v", F.lit(batch_id).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "map_log"))
+
+
+def compact_canonical_state(spark, state_dir: str) -> int:
+    """Collapse the insert/delete log into one all-inserts base version
+    (Iceberg's MoR compaction): read the merged view, rewrite it as a
+    single delta under the current max version, drop the rest. The
+    merged view is unchanged by construction."""
+    import shutil
+
+    versions = _committed_versions(state_dir, tables=_CANON_TABLES)
+    if not versions:
+        raise ValueError(f"no committed canonical state under {state_dir}")
+    vmax = versions[-1]
+    triples, mapping = read_canonical_state(spark, state_dir)
+    tmp = os.path.join(state_dir, f"_compact_v{vmax}")
+    triples.withColumn("op", F.lit("insert")).withColumn(
+        "v", F.lit(vmax).cast("long")
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "triple_log"))
+    mapping.withColumn("v", F.lit(vmax).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "map_log"))
+    for v in versions:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+    os.rename(tmp, os.path.join(state_dir, f"v{vmax}"))
+    return vmax

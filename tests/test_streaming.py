@@ -264,3 +264,72 @@ def test_streaming_host_graph_converges_to_batch(spark, tmp_path):
     assert vmax == v2[-1]
     assert _committed_versions(state2, tables=("host_edges",)) == [vmax]
     assert rows(read_host_graph(spark, state2)) == want
+
+
+def test_streaming_canonical_state_converges_to_batch(spark, tmp_path):
+    """Canonicalization as a stream: each micro-batch commits only its
+    insert/delete change sets (merge-on-read log), yet the folded view
+    equals the one-shot rebuild — including a second batch that merges
+    two existing components and dethrones a canonical (retractions).
+    Replay is idempotent; compaction preserves content."""
+    from ontoea_spark.pipeline.canonicalize import (
+        canonical_entity_map,
+        rewrite_triples,
+    )
+    from ontoea_spark.streaming.kg_stream import (
+        compact_canonical_state,
+        ingest_canonical_stream_batch,
+        read_canonical_state,
+    )
+
+    t1 = spark.createDataFrame(
+        [
+            ("kg1:a", "p", "kg1:c"),
+            ("kg1:b", "q", "kg1:a"),
+            ("kg2:x", "p", "kg2:w"),
+            ("kg2:y", "q", "kg2:x"),
+        ],
+        "s string, p string, o string",
+    )
+    l1 = spark.createDataFrame(
+        [("kg1:a", "kg2:x"), ("kg1:b", "kg2:y")], "e1 string, e2 string"
+    )
+    t2 = spark.createDataFrame(
+        [("kg3:n0", "p", "kg2:w"), ("kg1:c", "r", "aa:z")],
+        "s string, p string, o string",
+    )
+    l2 = spark.createDataFrame(
+        [("kg2:x", "kg2:y"), ("aa:z", "kg1:a")], "e1 string, e2 string"
+    )
+    state = str(tmp_path / "canon_state")
+
+    ingest_canonical_stream_batch(spark, t1, l1, state, 0)
+    ingest_canonical_stream_batch(spark, t2, l2, state, 1)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got_t, got_m = read_canonical_state(spark, state)
+    full_map = canonical_entity_map(l1.unionByName(l2))
+    full_t = rewrite_triples(t1.unionByName(t2), full_map)
+    assert rows(got_t) == rows(full_t)
+    assert rows(got_m) == rows(full_map)
+    # batch 2 really exercised the retraction path: it commits delete
+    # tombstones for the dethroned canonical's rows
+    import os
+
+    v1_log = spark.read.parquet(os.path.join(state, "v1", "triple_log"))
+    assert v1_log.filter("op = 'delete'").count() > 0
+    # and the commit is O(delta): far fewer log rows than the graph
+    assert v1_log.count() < full_t.count() * 2
+
+    # crash-replay idempotence: re-running batch 1 with the same inputs
+    # overwrites its own version dir, merged view unchanged
+    ingest_canonical_stream_batch(spark, t2, l2, state, 1)
+    got_t2, got_m2 = read_canonical_state(spark, state)
+    assert rows(got_t2) == rows(got_t) and rows(got_m2) == rows(got_m)
+
+    # compaction: one all-inserts base version, identical content
+    compact_canonical_state(spark, state)
+    got_t3, got_m3 = read_canonical_state(spark, state)
+    assert rows(got_t3) == rows(got_t) and rows(got_m3) == rows(got_m)
