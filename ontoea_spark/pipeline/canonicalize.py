@@ -251,8 +251,14 @@ def ingest_canonical_batch(
     one broadcast join over the map (scan, no shuffle — remap is
     O(batch) rows); the old-triple rewrite is one broadcast join over
     the edge table (scan, no shuffle) emitting O(affected) changed
-    rows; the novel-row anti-join shuffles only (delta + affected) rows
-    against the corpus index (bucketed corpus makes it one-sided).
+    rows; the novel-row check never shuffles the corpus while the
+    candidate set fits the broadcast gate — a naive
+    ``candidates LEFT ANTI corpus`` would (the big side is the BUILD
+    side there, so it can't broadcast), so it runs as corpus LEFT SEMI
+    broadcast(candidates) (one scan, O(candidates) output) followed by
+    candidates LEFT ANTI broadcast(matched), both broadcast-hash —
+    plan-asserted in tests/test_canonicalize.py; past the gate it
+    degrades to the shuffled anti-join.
     Disjoint keys by construction: map keys are never canonicals, remap
     keys never map keys, so the unions need no dedup.
     """
@@ -316,8 +322,18 @@ def ingest_canonical_batch(
         .select("s", "p", "o")
         .distinct()
     )
-    candidates = rewritten_old.unionByName(new_canon).distinct()
-    novel = candidates.join(triples, ["s", "p", "o"], "left_anti")
+    candidates = (
+        rewritten_old.unionByName(new_canon).distinct().localCheckpoint(eager=True)
+    )
+    if candidates.count() <= broadcast_threshold:
+        matched = triples.join(
+            F.broadcast(candidates), ["s", "p", "o"], "left_semi"
+        )
+        novel = candidates.join(
+            F.broadcast(matched), ["s", "p", "o"], "left_anti"
+        )
+    else:
+        novel = candidates.join(triples, ["s", "p", "o"], "left_anti")
 
     updated_triples = (
         triples.join(

@@ -129,6 +129,16 @@ def test_ingest_canonical_batch_equals_rebuild(spark):
         "kg2:y": "aa:z",
     }
 
+    # the novel-row check never shuffles the corpus under the gate:
+    # both steps (corpus LEFT SEMI bcast(candidates), candidates LEFT
+    # ANTI bcast(matched)) are broadcast-hash — a sort-merge anti-join
+    # here would mean the corpus got shuffled
+    novel_plan = (
+        delta.novel_triples._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in novel_plan, novel_plan
+    assert "SortMergeJoin" not in novel_plan, novel_plan
+
     # replay idempotence: same batch again commits nothing
     again = ingest_canonical_batch(
         delta.triples.localCheckpoint(eager=True),
