@@ -1931,7 +1931,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_type_check": q_predict_type_check,
         "word2vec_parse": q_word2vec_parse,
         "neg_sample_antijoin": q_neg_sample_antijoin,
-        "ann_topk_euclidean": q_ann_topk_euclidean,
+        # dedup_incremental rotated back in (code changed this round: the
+        # index check became a gated semi+anti broadcast pair); displaces
+        # ann_topk_euclidean — ANN keeps ann_lsh_top1, ann_ivf_top1,
+        # ann_recall, ann_ivfpq_top1 and ann_recall_nprobe in-window
+        "dedup_incremental": q_dedup_incremental,
         "ann_lsh_top1": q_ann_lsh_top1,
         "ann_ivf_top1": q_ann_ivf_top1,
         "salted_degree_join": q_salted_degree_join,
@@ -2072,7 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "source_stats": q_source_stats,
         "repetition": q_repetition,
-        "dedup_incremental": q_dedup_incremental,
+        "ann_topk_euclidean": q_ann_topk_euclidean,
         "multimodal_features": q_multimodal_features,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,

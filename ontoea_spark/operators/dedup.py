@@ -58,16 +58,25 @@ def incremental_exact_dedup(
     delta: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Ingest-time dedup for a growing corpus: new (delta) documents are
     deduped within the delta (min-id canonical per content hash), then
-    anti-joined against the EXISTING corpus's content-hash index — cost
-    is O(delta) plus one pass to build/read the index, never a rescan of
+    checked against the EXISTING corpus's content-hash index — cost is
+    O(delta) plus one pass to build/read the index, never a rescan of
     the existing corpus per delta row (the incremental.py contract; in
     production the index is a persisted table appended per batch). For
     near-dup incrementality the same shape composes with the MinHash
     band tables: persist ``minhash_lsh_pairs``' band-bucket frame and
     anti-join delta bands against it.
+
+    The index check never shuffles the index while the deduped delta
+    fits ``broadcast_threshold`` rows: a naive ``delta LEFT ANTI index``
+    puts the big index on the build side (unbroadcastable), so it runs
+    as index LEFT SEMI broadcast(delta) — one index scan emitting at
+    most |delta| matched hashes — then delta LEFT ANTI
+    broadcast(matched), both broadcast-hash joins. Past the threshold it
+    degrades to the shuffled anti-join.
 
     Returns DataFrame[doc_id, content_hash] — the surviving (novel)
     delta documents.
@@ -83,10 +92,16 @@ def incremental_exact_dedup(
         )
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
     )
-    return canon.join(ex_hashes, "content_hash", "left_anti").select(
-        "doc_id", "content_hash"
-    )
+    if canon.count() <= broadcast_threshold:
+        matched = ex_hashes.join(
+            F.broadcast(canon.select("content_hash")), "content_hash", "left_semi"
+        )
+        survivors = canon.join(F.broadcast(matched), "content_hash", "left_anti")
+    else:
+        survivors = canon.join(ex_hashes, "content_hash", "left_anti")
+    return survivors.select("doc_id", "content_hash")
 
 
 def chunk_dup_signals(
