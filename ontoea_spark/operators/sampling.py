@@ -67,12 +67,33 @@ def corrupt_triples(
     )
 
 
-def neg_antijoin(candidates: DataFrame, edges: DataFrame) -> DataFrame:
+def neg_antijoin(
+    candidates: DataFrame,
+    edges: DataFrame,
+    broadcast_threshold: int | None = None,
+) -> DataFrame:
     """J10: drop corrupted triples that exist as true triples
-    (batch.py:166 set difference -> distributed left_anti)."""
+    (batch.py:166 set difference -> distributed left_anti).
+
+    The true-triple table is the BUILD side of a naive anti-join and
+    can't broadcast, so while the candidate batch (O(batch·negs)) fits
+    the gate this runs as true_t LEFT SEMI broadcast(candidates) — one
+    edge-table scan, no shuffle — then candidates LEFT ANTI
+    broadcast(matched); past the gate, the shuffled anti-join."""
+    from ontoea_spark.operators.dictionary import BROADCAST_ROW_THRESHOLD
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_ROW_THRESHOLD
+    key = ["h_id", "r_id", "t_id"]
     true_t = edges.select(
         F.col("s_id").alias("h_id"),
         F.col("p_id").alias("r_id"),
         F.col("o_id").alias("t_id"),
     )
-    return candidates.join(true_t, ["h_id", "r_id", "t_id"], "left_anti")
+    candidates = candidates.localCheckpoint(eager=True)
+    if candidates.count() <= broadcast_threshold:
+        matched = true_t.join(
+            F.broadcast(candidates.select(*key)), key, "left_semi"
+        )
+        return candidates.join(F.broadcast(matched), key, "left_anti")
+    return candidates.join(true_t, key, "left_anti")

@@ -16,10 +16,11 @@ contract instead:
 * delta edges are encoded against the merged dictionary and unioned
   onto the existing edge table (an append-only Iceberg write at scale).
 
-Shapes: the delta's unseen-element set is found with one anti-join of
-delta vocab (small) against the dictionary (broadcast the delta side at
-scale); id assignment reuses the same two-phase exact rank as the batch
-path; nothing touches existing rows.
+Shapes: the delta's unseen-element set is found WITHOUT shuffling the
+dictionary — dictionary LEFT SEMI broadcast(delta vocab), then a
+broadcast anti-join against the matched keys (size-gated; a backfill
+degrades to the shuffled anti-join); id assignment reuses the same
+two-phase exact rank as the batch path; nothing touches existing rows.
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ class IncrementalResult:
 def extend_dictionary(
     existing: DataFrame,
     delta_occurrences: DataFrame,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """Append unseen elements to a dictionary with frozen existing ids.
 
@@ -56,13 +58,31 @@ def extend_dictionary(
     "kg\\telem" desc) over the unseen (kg, elem) pairs — the D1
     frequency ordering with the kg folded into the tie-break key,
     applied to the delta only. Returns the merged dictionary.
+
+    The unseen check must not shuffle the dictionary (it grows with the
+    corpus; a naive delta-LEFT-ANTI-dictionary puts it on the
+    unbroadcastable build side): while the delta vocabulary fits the
+    gate, the dictionary is scanned once with LEFT SEMI
+    broadcast(delta vocab) and the unseen set comes from a broadcast
+    anti-join against the matched keys; past the gate (a backfill) it
+    degrades to the shuffled anti-join.
     """
+    from ontoea_spark.operators.dictionary import BROADCAST_ROW_THRESHOLD
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_ROW_THRESHOLD
     freqs = delta_occurrences.groupBy("kg", "elem").agg(
         F.count("*").alias("freq")
-    )
-    unseen = freqs.join(
-        existing.select("kg", "elem"), ["kg", "elem"], "left_anti"
-    )
+    ).localCheckpoint(eager=True)
+    if freqs.count() <= broadcast_threshold:
+        seen = existing.select("kg", "elem").join(
+            F.broadcast(freqs.select("kg", "elem")), ["kg", "elem"], "left_semi"
+        )
+        unseen = freqs.join(F.broadcast(seen), ["kg", "elem"], "left_anti")
+    else:
+        unseen = freqs.join(
+            existing.select("kg", "elem"), ["kg", "elem"], "left_anti"
+        )
     # rank the unseen tail; kg rides through the rank key via elem
     # uniqueness per (kg, elem) — rank within the whole unseen set so
     # ids stay globally dense
