@@ -434,9 +434,13 @@ def q_q3_top_revenue(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     dec = lambda col: col.cast("decimal(18,4)")
+    # no hard broadcast hint on customer: it scales with SF (1.5M
+    # rows/SF in TPC-H), so the right call is AQE's — the segment
+    # filter is pushed into the scan and AQE broadcasts the filtered
+    # side at runtime when it actually fits
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("c_mktsegment") == "BUILDING")
         .groupBy(
             F.col("o_orderkey").cast("long").alias("orderkey"),
@@ -1926,10 +1930,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_triples_parse": q_attr_triples_parse,
         "attr_encode": q_attr_encode,
         "dict_sharing_ids": q_dict_sharing_ids,
-        "name_pairs": q_name_pairs,
         "cv_revision": q_cv_revision,
-        "predict_type_check": q_predict_type_check,
-        "word2vec_parse": q_word2vec_parse,
+        # links_fixpoint / sup_cv_links / remove_unlinked / q3_top_revenue
+        # rotated back in (operator code changed this round: the filter
+        # ops' link/entity-set broadcasts became row-count-gated, and q3
+        # dropped its hard customer hint for AQE). Displace the
+        # code-stable niche parsers word2vec_parse, name_pairs,
+        # kg_components (CC stays exercised in-window via the
+        # kg_canonical_* chain) and predict_type_check (ontology keeps
+        # onto_compat_v1, cv_revision, class_complete_full in-window)
+        "links_fixpoint": q_links_fixpoint,
+        "sup_cv_links": q_sup_cv_links,
+        "remove_unlinked": q_remove_unlinked,
+        "q3_top_revenue": q_q3_top_revenue,
         "neg_sample_antijoin": q_neg_sample_antijoin,
         # dedup_incremental rotated back in (code changed this round: the
         # index check became a gated semi+anti broadcast pair); displaces
@@ -1942,7 +1955,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sup_triples_swap": q_sup_triples_swap,
         "rel_functionality": q_rel_functionality,
         "dedup_exact": q_dedup_exact,
-        "kg_components": q_kg_components,
         "csls_top1": q_csls_top1,
         "csls_top1_candidates": q_csls_top1_candidates,
         "hits_metrics_candidates": q_hits_metrics_candidates,
@@ -2034,8 +2046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-green rotation pool (code unchanged since its green row;
         # rotates back next round per the policy above):
         "extract_triples": q_extract_triples,
-        "links_fixpoint": q_links_fixpoint,
-        "sup_cv_links": q_sup_cv_links,
+        "word2vec_parse": q_word2vec_parse,
+        "name_pairs": q_name_pairs,
+        "kg_components": q_kg_components,
+        "predict_type_check": q_predict_type_check,
         "onto_class_paths": q_onto_class_paths,
         "onto_compat_seeded": q_onto_compat_seeded,
         "crawl_latest_snapshot": q_crawl_latest_snapshot,
@@ -2050,7 +2064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "kg_pagerank": q_kg_pagerank,
         "q1_pricing": q_q1_pricing,
-        "q3_top_revenue": q_q3_top_revenue,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -2058,7 +2071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_entities": q_parse_entities,
         "dict_freq_rank": q_dict_freq_rank,
         "dict_interleaved_ids": q_dict_interleaved_ids,
-        "remove_unlinked": q_remove_unlinked,
         "adjacency_out": q_adjacency_out,
         "kg_stats": q_kg_stats,
         "lang_id": q_lang_id,

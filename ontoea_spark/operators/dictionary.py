@@ -145,6 +145,7 @@ def sharing_ids(
     triples2: DataFrame,
     train_links: DataFrame,
     roles: tuple[str, ...] = ("s", "o"),
+    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
 ) -> DataFrame:
     """D4 ``generate_sharing_id`` ordered path (read.py:29-61): aligned
     train-link pairs share one id — KG2's linked elements are removed
@@ -154,18 +155,29 @@ def sharing_ids(
     train_links: DataFrame[e1, e2]. Returns (kg, elem, id); ``rank`` and
     ``freq`` only cover the elements that went through the interleave
     (linked e2 rows carry NULLs there).
+
+    The link set grows with the corpus, so its broadcast hints are
+    row-count-gated; the KG1 id lookup is semi-restricted to linked e1
+    rows FIRST (O(|links|), not O(|KG1 vocab|)) and gated by the same
+    count — broadcasting the full interleaved dictionary would OOM at
+    crawl scale.
     """
+    links_m = train_links.localCheckpoint(eager=True)
+    lsmall = links_m.count() <= broadcast_threshold
     r1 = ranked_elements(triples1, roles)
     f2 = element_frequencies(triples2, roles)
-    linked2 = train_links.select(F.col("e2").alias("elem")).distinct()
-    f2_unlinked = f2.join(F.broadcast(linked2), "elem", "left_anti")
+    linked2 = links_m.select(F.col("e2").alias("elem")).distinct()
+    f2_unlinked = f2.join(_gated_broadcast(linked2, lsmall), "elem", "left_anti")
     r2 = _rank_freqs(f2_unlinked)
     base = _interleave(r1, r2)
-    ids1 = base.filter("kg = 1").select(
-        F.col("elem").alias("e1"), F.col("id").alias("shared_id")
+    e1s = links_m.select("e1").distinct()
+    ids1 = (
+        base.filter("kg = 1")
+        .select(F.col("elem").alias("e1"), F.col("id").alias("shared_id"))
+        .join(_gated_broadcast(e1s, lsmall), "e1", "left_semi")
     )
     linked_rows = (
-        train_links.join(F.broadcast(ids1), "e1")
+        links_m.join(_gated_broadcast(ids1, lsmall), "e1")
         .select(
             F.lit(2).cast("long").alias("kg"),
             F.col("e2").alias("elem"),

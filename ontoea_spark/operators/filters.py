@@ -21,6 +21,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _prepared_small_side(
+    df: DataFrame, broadcast_threshold: int | None
+) -> tuple[DataFrame, bool]:
+    """Materialize a join's intended build side and decide the broadcast
+    gate from its actual row count. Link/entity sets GROW WITH THE
+    CORPUS — a hard broadcast hint on them is an OOM at crawl scale, so
+    every hint below goes through this gate (the dictionary-encode
+    pattern, operators/dictionary.py). The eager checkpoint doubles as
+    lineage truncation for the P6+P7 fixpoint's loop-carried frames."""
+    from ontoea_spark.operators.dictionary import BROADCAST_ROW_THRESHOLD
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_ROW_THRESHOLD
+    df = df.localCheckpoint(eager=True)
+    return df, df.count() <= broadcast_threshold
+
+
+def _maybe_broadcast(df: DataFrame, small: bool) -> DataFrame:
+    return F.broadcast(df) if small else df
+
+
 def parse_entities(triples: DataFrame) -> DataFrame:
     """P1: distinct entities (subjects ∪ objects). DataFrame[entity]."""
     return (
@@ -39,10 +60,16 @@ def linked_entity_set(links: DataFrame, side: str) -> DataFrame:
     return links.select(F.col(side).alias("entity")).distinct()
 
 
-def remove_unlinked_triples(triples: DataFrame, linked: DataFrame) -> DataFrame:
+def remove_unlinked_triples(
+    triples: DataFrame,
+    linked: DataFrame,
+    broadcast_threshold: int | None = None,
+) -> DataFrame:
     """P6: keep triples with BOTH endpoints in ``linked`` (col: entity).
-    Two semi-joins; the linked set is broadcast when small."""
-    le = F.broadcast(linked)
+    Two semi-joins; the linked set is broadcast only while it fits the
+    row-count gate (it is O(|links|) — corpus-growing)."""
+    linked, small = _prepared_small_side(linked, broadcast_threshold)
+    le = _maybe_broadcast(linked, small)
     return triples.join(
         le.withColumnRenamed("entity", "s"), "s", "left_semi"
     ).join(le.withColumnRenamed("entity", "o"), "o", "left_semi").select(
@@ -51,15 +78,25 @@ def remove_unlinked_triples(triples: DataFrame, linked: DataFrame) -> DataFrame:
 
 
 def remove_no_triples_link(
-    links: DataFrame, triples1: DataFrame, triples2: DataFrame
+    links: DataFrame,
+    triples1: DataFrame,
+    triples2: DataFrame,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
-    """P7: keep links whose e1 occurs in KG1's triples and e2 in KG2's."""
-    ents1 = parse_entities(triples1)
-    ents2 = parse_entities(triples2)
+    """P7: keep links whose e1 occurs in KG1's triples and e2 in KG2's.
+    The entity sets are O(all corpus entities) — the most
+    broadcast-hostile frames in this module — so their hints are
+    row-count-gated; past the gate AQE plans the semi-joins."""
+    ents1, small1 = _prepared_small_side(parse_entities(triples1), broadcast_threshold)
+    ents2, small2 = _prepared_small_side(parse_entities(triples2), broadcast_threshold)
     return links.join(
-        F.broadcast(ents1.withColumnRenamed("entity", "e1")), "e1", "left_semi"
+        _maybe_broadcast(ents1.withColumnRenamed("entity", "e1"), small1),
+        "e1",
+        "left_semi",
     ).join(
-        F.broadcast(ents2.withColumnRenamed("entity", "e2")), "e2", "left_semi"
+        _maybe_broadcast(ents2.withColumnRenamed("entity", "e2"), small2),
+        "e2",
+        "left_semi",
     )
 
 
@@ -91,7 +128,8 @@ def sup_relation_triples(links: DataFrame, triples: DataFrame, swap_from: str = 
     column is substituted in.
     """
     other = "e2" if swap_from == "e1" else "e1"
-    lk = F.broadcast(links.select(swap_from, other))
+    lk_df, lk_small = _prepared_small_side(links.select(swap_from, other), None)
+    lk = _maybe_broadcast(lk_df, lk_small)
     head = (
         triples.join(lk, triples["s"] == lk[swap_from])
         .select(F.col(other).alias("s"), "p", "o")
@@ -114,7 +152,8 @@ def sup_cv_links(align_links: DataFrame, cv_links: DataFrame) -> DataFrame:
 
     Returns DataFrame[entity, cls] of NEW links, deduplicated.
     """
-    cv = F.broadcast(cv_links)
+    cv_df, cv_small = _prepared_small_side(cv_links, None)
+    cv = _maybe_broadcast(cv_df, cv_small)
     j = (
         align_links.join(
             cv.select(F.col("entity").alias("e1"), F.col("cls").alias("c1")),

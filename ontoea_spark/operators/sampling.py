@@ -23,16 +23,28 @@ def corrupt_triples(
     ent_ids: DataFrame,
     neg_per_pos: int = 2,
     salt: str = "neg",
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """edges: (s_id, p_id, o_id); ent_ids: (rank, id) for the replacement
     pool. For copy i of each edge: h = hash64(s:p:o:i:salt); corrupt the
     head when h is even else the tail; replacement = the entity whose
-    rank == h mod |pool| (broadcast join on rank).
+    rank == h mod |pool| — a broadcast join on rank only while the pool
+    (the full entity dictionary, corpus-growing) fits the row-count
+    gate; past it the rank join shuffles, and rank uniformity from the
+    hash keeps that shuffle skew-free.
 
     Returns DataFrame[h_id, r_id, t_id] — corrupted candidates, possibly
     colliding with true triples (filter via :func:`neg_antijoin`).
     """
+    from ontoea_spark.operators.dictionary import (
+        BROADCAST_ROW_THRESHOLD,
+        _gated_broadcast,
+    )
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_ROW_THRESHOLD
     pool = ent_ids.select("rank", F.col("id").alias("repl_id"))
+    psmall = pool.count() <= broadcast_threshold
     n_pool = pool.agg(F.count("*").alias("n_pool"))
     copies = edges.crossJoin(
         F.broadcast(
@@ -55,7 +67,7 @@ def corrupt_triples(
         "o_id",
         h.alias("h"),
         (h % F.col("n_pool")).alias("rank"),
-    ).join(F.broadcast(pool), "rank")
+    ).join(_gated_broadcast(pool, psmall), "rank")
     return cand.select(
         F.when(F.col("h") % 2 == 0, F.col("repl_id"))
         .otherwise(F.col("s_id"))

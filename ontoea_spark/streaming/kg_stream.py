@@ -195,9 +195,18 @@ def decoded_edges(
 ) -> DataFrame:
     """Edge table decoded back to URIs: DataFrame[s, p, o, kg] — the
     id-assignment-independent view used to compare streaming and batch
-    builds (both dictionaries broadcast; they are vocab-sized)."""
-    ent = F.broadcast(ent_ids.select("kg", "elem", "id"))
-    rel = F.broadcast(rel_ids.select("kg", "elem", "id"))
+    builds. The dictionaries are corpus-vocab-sized, so their broadcast
+    hints are row-count-gated like every dictionary join (past the gate
+    AQE plans the decode joins)."""
+    from ontoea_spark.operators.dictionary import (
+        BROADCAST_ROW_THRESHOLD,
+        _gated_broadcast,
+    )
+
+    ent_m = ent_ids.select("kg", "elem", "id").localCheckpoint(eager=True)
+    small = ent_m.count() <= BROADCAST_ROW_THRESHOLD
+    ent = _gated_broadcast(ent_m, small)
+    rel = _gated_broadcast(rel_ids.select("kg", "elem", "id"), small)
     return (
         edges.join(
             ent.select(

@@ -98,3 +98,40 @@ def test_curation_pipeline_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "salt" in plan, plan
+
+
+def test_filter_ops_broadcast_gate(spark):
+    """The P6/P7/J2/J4 link- and entity-set hints are row-count-gated:
+    link/entity sets grow with the corpus, so a hard broadcast hint on
+    them is an OOM at crawl scale. Small sides keep the broadcast plan;
+    threshold 0 drops the hint (AQE plans the join), results identical."""
+    from ontoea_spark.operators.filters import (
+        remove_no_triples_link,
+        remove_unlinked_triples,
+    )
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("c", "p", "a")],
+        "s string, p string, o string",
+    )
+    linked = spark.createDataFrame([("a",), ("b",)], "entity string")
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    hinted = remove_unlinked_triples(triples, linked)
+    gated = remove_unlinked_triples(triples, linked, broadcast_threshold=0)
+    assert "broadcast" in plan(hinted), plan(hinted)
+    assert "broadcast" not in plan(gated), plan(gated)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(hinted) == rows(gated) == [("a", "p", "b")]
+
+    links = spark.createDataFrame([("a", "x"), ("z", "y")], "e1 string, e2 string")
+    t2 = spark.createDataFrame([("x", "p", "y")], "s string, p string, o string")
+    h2 = remove_no_triples_link(links, triples, t2)
+    g2 = remove_no_triples_link(links, triples, t2, broadcast_threshold=0)
+    assert "broadcast" in plan(h2), plan(h2)
+    assert "broadcast" not in plan(g2), plan(g2)
+    assert (
+        rows(h2.select("e1", "e2")) == rows(g2.select("e1", "e2")) == [("a", "x")]
+    )
