@@ -335,14 +335,16 @@ def ingest_canonical_batch(
     else:
         novel = candidates.join(triples, ["s", "p", "o"], "left_anti")
 
-    updated_triples = (
-        triples.join(
-            touched.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
-        )
-        .unionByName(rewritten_old)
-        .unionByName(new_canon)
-        .distinct()
-    )
+    # updated = (prev \ touched) ∪ novel, EXACTLY and without a corpus
+    # distinct: prev is a set, novel is deduped and disjoint from prev
+    # by construction, and a rewritten form can never itself be a
+    # touched row (its endpoints are new canonicals, never remap keys) —
+    # so the union is already duplicate-free. The touched anti-join's
+    # build side is O(affected); AQE broadcasts it, leaving one corpus
+    # SCAN as the whole update plan.
+    updated_triples = triples.join(
+        touched.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
+    ).unionByName(novel)
     return CanonicalDelta(
         triples=updated_triples,
         mapping=mapping2,
