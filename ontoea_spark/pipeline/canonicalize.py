@@ -272,13 +272,18 @@ def ingest_canonical_batch(
         msmall,
     ).select(F.col("s").alias("e1"), F.col("o").alias("e2"))
     remap = canonical_entity_map(resolved).localCheckpoint(eager=True)
+    # O(batch) by construction, but gate anyway (a pathological
+    # mega-batch should degrade, not OOM) — the count is a metadata
+    # read on the checkpointed frame
+    rsmall = remap.count() <= broadcast_threshold
 
     # 2. map maintenance: rows whose canonical lost its status follow it
     #    to the new minimum; the remap rows join the map themselves
-    rm = F.broadcast(
+    rm = _gated_broadcast(
         remap.select(
             F.col("entity").alias("canonical"), F.col("canonical").alias("new_c")
-        )
+        ),
+        rsmall,
     )
     moved = (
         mapping.join(rm, "canonical")
@@ -294,11 +299,13 @@ def ingest_canonical_batch(
     # 3. old triples touched by the remap: rewrite via broadcast joins,
     #    keeping the pre-image so the changed rows surface as explicit
     #    retract/insert pairs (merge-on-read commit unit)
-    rs = F.broadcast(
-        remap.select(F.col("entity").alias("s"), F.col("canonical").alias("s_new"))
+    rs = _gated_broadcast(
+        remap.select(F.col("entity").alias("s"), F.col("canonical").alias("s_new")),
+        rsmall,
     )
-    ro = F.broadcast(
-        remap.select(F.col("entity").alias("o"), F.col("canonical").alias("o_new"))
+    ro = _gated_broadcast(
+        remap.select(F.col("entity").alias("o"), F.col("canonical").alias("o_new")),
+        rsmall,
     )
     marked = triples.join(rs, "s", "left").join(ro, "o", "left")
     touched = marked.filter(
