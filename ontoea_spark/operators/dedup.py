@@ -81,6 +81,8 @@ def incremental_exact_dedup(
     Returns DataFrame[doc_id, content_hash] — the surviving (novel)
     delta documents.
     """
+    from ontoea_spark.operators.dictionary import anti_join_keep_small
+
     ex_hashes = (
         existing.select(portable_hash64(F.col(text_col)).alias("content_hash"))
         .distinct()
@@ -92,16 +94,10 @@ def incremental_exact_dedup(
         )
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
     )
-    if canon.count() <= broadcast_threshold:
-        matched = ex_hashes.join(
-            F.broadcast(canon.select("content_hash")), "content_hash", "left_semi"
-        )
-        survivors = canon.join(F.broadcast(matched), "content_hash", "left_anti")
-    else:
-        survivors = canon.join(ex_hashes, "content_hash", "left_anti")
-    return survivors.select("doc_id", "content_hash")
+    return anti_join_keep_small(
+        canon, ex_hashes, ["content_hash"], broadcast_threshold
+    ).select("doc_id", "content_hash")
 
 
 def chunk_dup_signals(

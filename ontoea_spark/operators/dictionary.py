@@ -44,6 +44,36 @@ def _gated_broadcast(df: DataFrame, small: bool) -> DataFrame:
     return F.broadcast(df) if small else df
 
 
+def anti_join_keep_small(
+    small: DataFrame,
+    big: DataFrame,
+    key: list[str],
+    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
+) -> DataFrame:
+    """``small LEFT ANTI big`` without ever shuffling ``big``.
+
+    A LEFT ANTI join can only broadcast its build (right) side, so the
+    naive form shuffles the big table every time. While ``small`` fits
+    the gate this runs the semi+anti broadcast pair instead: big LEFT
+    SEMI broadcast(small) — one scan of ``big`` emitting at most
+    |small| matched keys — then small LEFT ANTI broadcast(matched).
+    Past the gate it degrades to the shuffled anti-join. The one shared
+    implementation of the pattern used by incremental dedup, dictionary
+    extension, negative sampling, and incremental canonicalization.
+
+    ``small`` is eagerly materialized here (the gate needs its count and
+    both joins reuse it); returns rows of ``small`` (all its columns)
+    whose ``key`` is absent from ``big``.
+    """
+    small = small.localCheckpoint(eager=True)
+    if small.count() <= broadcast_threshold:
+        matched = big.select(*key).join(
+            F.broadcast(small.select(*key)), key, "left_semi"
+        )
+        return small.join(F.broadcast(matched), key, "left_anti")
+    return small.join(big.select(*key), key, "left_anti")
+
+
 def element_frequencies(
     triples: DataFrame, roles: tuple[str, ...] = ("s", "o")
 ) -> DataFrame:

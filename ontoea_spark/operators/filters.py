@@ -21,21 +21,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _prepared_small_side(
-    df: DataFrame, broadcast_threshold: int | None
-) -> tuple[DataFrame, bool]:
-    """Materialize a join's intended build side and decide the broadcast
-    gate from its actual row count. Link/entity sets GROW WITH THE
-    CORPUS — a hard broadcast hint on them is an OOM at crawl scale, so
-    every hint below goes through this gate (the dictionary-encode
-    pattern, operators/dictionary.py). The eager checkpoint doubles as
-    lineage truncation for the P6+P7 fixpoint's loop-carried frames."""
+def _gate_small(df: DataFrame, broadcast_threshold: int | None) -> bool:
+    """Decide a broadcast gate by counting the (lazy) frame. Link/entity
+    sets GROW WITH THE CORPUS — a hard broadcast hint on them is an OOM
+    at crawl scale, so every hint in this module goes through this gate
+    (the dictionary-encode pattern, operators/dictionary.py). One count
+    job, no checkpoint pin: the frame stays lazy so downstream plans
+    fuse exactly as they did before the gate existed."""
     from ontoea_spark.operators.dictionary import BROADCAST_ROW_THRESHOLD
 
     if broadcast_threshold is None:
         broadcast_threshold = BROADCAST_ROW_THRESHOLD
-    df = df.localCheckpoint(eager=True)
-    return df, df.count() <= broadcast_threshold
+    return df.count() <= broadcast_threshold
 
 
 def _maybe_broadcast(df: DataFrame, small: bool) -> DataFrame:
@@ -64,11 +61,15 @@ def remove_unlinked_triples(
     triples: DataFrame,
     linked: DataFrame,
     broadcast_threshold: int | None = None,
+    small: bool | None = None,
 ) -> DataFrame:
     """P6: keep triples with BOTH endpoints in ``linked`` (col: entity).
     Two semi-joins; the linked set is broadcast only while it fits the
-    row-count gate (it is O(|links|) — corpus-growing)."""
-    linked, small = _prepared_small_side(linked, broadcast_threshold)
+    row-count gate (it is O(|links|) — corpus-growing). Callers that
+    already know the verdict (the fixpoint loop) pass ``small`` to skip
+    the count."""
+    if small is None:
+        small = _gate_small(linked, broadcast_threshold)
     le = _maybe_broadcast(linked, small)
     return triples.join(
         le.withColumnRenamed("entity", "s"), "s", "left_semi"
@@ -82,13 +83,19 @@ def remove_no_triples_link(
     triples1: DataFrame,
     triples2: DataFrame,
     broadcast_threshold: int | None = None,
+    small1: bool | None = None,
+    small2: bool | None = None,
 ) -> DataFrame:
     """P7: keep links whose e1 occurs in KG1's triples and e2 in KG2's.
     The entity sets are O(all corpus entities) — the most
     broadcast-hostile frames in this module — so their hints are
     row-count-gated; past the gate AQE plans the semi-joins."""
-    ents1, small1 = _prepared_small_side(parse_entities(triples1), broadcast_threshold)
-    ents2, small2 = _prepared_small_side(parse_entities(triples2), broadcast_threshold)
+    ents1 = parse_entities(triples1)
+    ents2 = parse_entities(triples2)
+    if small1 is None:
+        small1 = _gate_small(ents1, broadcast_threshold)
+    if small2 is None:
+        small2 = _gate_small(ents2, broadcast_threshold)
     return links.join(
         _maybe_broadcast(ents1.withColumnRenamed("entity", "e1"), small1),
         "e1",
@@ -105,18 +112,32 @@ def links_triples_fixpoint(
     triples1: DataFrame,
     triples2: DataFrame,
     max_iter: int = 3,
+    broadcast_threshold: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """P6+P7 iterated (kgs.py:598-615). Bounded driver loop; each pass is a
     handful of semi-joins, and intermediate frames are the loop-carried
     state. For unbounded fixpoints at scale, checkpoint every few passes
     to cut lineage (the reference's loop converges in 1-2 passes on real
-    data — links and triples only shrink)."""
+    data — links and triples only shrink).
+
+    Broadcast gates are decided ONCE on the initial sets — three count
+    jobs for the whole loop, not per call. The sets only shrink under
+    the fixpoint, so a small verdict stays valid; a large verdict just
+    skips the hint and AQE re-plans at runtime if a later pass shrinks
+    a side under its thresholds. In-loop plans stay lazily fused
+    (nothing is checkpointed or pinned; bounded max_iter keeps lineage
+    shallow)."""
+    s1 = _gate_small(parse_entities(triples1), broadcast_threshold)
+    s2 = _gate_small(parse_entities(triples2), broadcast_threshold)
+    sl = _gate_small(links, broadcast_threshold)  # bounds |l1| and |l2|
     for _ in range(max_iter):
-        links = remove_no_triples_link(links, triples1, triples2)
+        links = remove_no_triples_link(
+            links, triples1, triples2, small1=s1, small2=s2
+        )
         l1 = linked_entity_set(links, "e1")
         l2 = linked_entity_set(links, "e2")
-        triples1 = remove_unlinked_triples(triples1, l1)
-        triples2 = remove_unlinked_triples(triples2, l2)
+        triples1 = remove_unlinked_triples(triples1, l1, small=sl)
+        triples2 = remove_unlinked_triples(triples2, l2, small=sl)
     return links, triples1, triples2
 
 
@@ -128,8 +149,8 @@ def sup_relation_triples(links: DataFrame, triples: DataFrame, swap_from: str = 
     column is substituted in.
     """
     other = "e2" if swap_from == "e1" else "e1"
-    lk_df, lk_small = _prepared_small_side(links.select(swap_from, other), None)
-    lk = _maybe_broadcast(lk_df, lk_small)
+    lk_df = links.select(swap_from, other)
+    lk = _maybe_broadcast(lk_df, _gate_small(lk_df, None))
     head = (
         triples.join(lk, triples["s"] == lk[swap_from])
         .select(F.col(other).alias("s"), "p", "o")
@@ -152,8 +173,7 @@ def sup_cv_links(align_links: DataFrame, cv_links: DataFrame) -> DataFrame:
 
     Returns DataFrame[entity, cls] of NEW links, deduplicated.
     """
-    cv_df, cv_small = _prepared_small_side(cv_links, None)
-    cv = _maybe_broadcast(cv_df, cv_small)
+    cv = _maybe_broadcast(cv_links, _gate_small(cv_links, None))
     j = (
         align_links.join(
             cv.select(F.col("entity").alias("e1"), F.col("cls").alias("c1")),

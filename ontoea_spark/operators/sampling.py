@@ -43,14 +43,18 @@ def corrupt_triples(
 
     if broadcast_threshold is None:
         broadcast_threshold = BROADCAST_ROW_THRESHOLD
-    pool = ent_ids.select("rank", F.col("id").alias("repl_id"))
-    psmall = pool.count() <= broadcast_threshold
-    n_pool = pool.agg(F.count("*").alias("n_pool"))
+    # one materialization serves the gate count, the modulus, and the
+    # rank join (previously three separate evaluations of the pool plan)
+    pool = ent_ids.select(
+        "rank", F.col("id").alias("repl_id")
+    ).localCheckpoint(eager=True)
+    n = pool.count()
+    psmall = n <= broadcast_threshold
     copies = edges.crossJoin(
         F.broadcast(
             edges.sparkSession.range(neg_per_pos).select(F.col("id").alias("i"))
         )
-    ).crossJoin(F.broadcast(n_pool))
+    ).withColumn("n_pool", F.lit(n).cast("long"))
     h = portable_hash64(
         F.concat_ws(
             ":",
@@ -89,23 +93,21 @@ def neg_antijoin(
 
     The true-triple table is the BUILD side of a naive anti-join and
     can't broadcast, so while the candidate batch (O(batch·negs)) fits
-    the gate this runs as true_t LEFT SEMI broadcast(candidates) — one
-    edge-table scan, no shuffle — then candidates LEFT ANTI
-    broadcast(matched); past the gate, the shuffled anti-join."""
-    from ontoea_spark.operators.dictionary import BROADCAST_ROW_THRESHOLD
+    the gate this runs as the semi+anti broadcast pair
+    (dictionary.anti_join_keep_small) — one edge-table scan, no
+    shuffle; past the gate, the shuffled anti-join."""
+    from ontoea_spark.operators.dictionary import (
+        BROADCAST_ROW_THRESHOLD,
+        anti_join_keep_small,
+    )
 
     if broadcast_threshold is None:
         broadcast_threshold = BROADCAST_ROW_THRESHOLD
-    key = ["h_id", "r_id", "t_id"]
     true_t = edges.select(
         F.col("s_id").alias("h_id"),
         F.col("p_id").alias("r_id"),
         F.col("o_id").alias("t_id"),
     )
-    candidates = candidates.localCheckpoint(eager=True)
-    if candidates.count() <= broadcast_threshold:
-        matched = true_t.join(
-            F.broadcast(candidates.select(*key)), key, "left_semi"
-        )
-        return candidates.join(F.broadcast(matched), key, "left_anti")
-    return candidates.join(true_t, key, "left_anti")
+    return anti_join_keep_small(
+        candidates, true_t, ["h_id", "r_id", "t_id"], broadcast_threshold
+    )

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from ontoea_spark.operators.dictionary import (
     BROADCAST_ROW_THRESHOLD,
     _gated_broadcast,
+    anti_join_keep_small,
     encode_triples,
     single_kg_ids,
 )
@@ -312,11 +313,12 @@ def ingest_canonical_batch(
         F.col("s_new").isNotNull() | F.col("o_new").isNotNull()
     ).localCheckpoint(eager=True)
     retracted = touched.select("s", "p", "o")
+    # no inner distinct: `candidates` below dedups the union once
     rewritten_old = touched.select(
         F.coalesce("s_new", "s").alias("s"),
         F.col("p"),
         F.coalesce("o_new", "o").alias("o"),
-    ).distinct()
+    )
 
     # 4. delta triples rewrite through the UPDATED map, then the novel
     #    view: candidates are O(delta + affected) rows, anti-joined
@@ -324,23 +326,13 @@ def ingest_canonical_batch(
     mapping2_small = (
         mapping2.count() <= broadcast_threshold
     )
-    new_canon = (
-        _rewrite_so(delta_triples, mapping2, mapping2_small)
-        .select("s", "p", "o")
-        .distinct()
+    new_canon = _rewrite_so(delta_triples, mapping2, mapping2_small).select(
+        "s", "p", "o"
     )
-    candidates = (
-        rewritten_old.unionByName(new_canon).distinct().localCheckpoint(eager=True)
+    candidates = rewritten_old.unionByName(new_canon).distinct()
+    novel = anti_join_keep_small(
+        candidates, triples, ["s", "p", "o"], broadcast_threshold
     )
-    if candidates.count() <= broadcast_threshold:
-        matched = triples.join(
-            F.broadcast(candidates), ["s", "p", "o"], "left_semi"
-        )
-        novel = candidates.join(
-            F.broadcast(matched), ["s", "p", "o"], "left_anti"
-        )
-    else:
-        novel = candidates.join(triples, ["s", "p", "o"], "left_anti")
 
     # updated = (prev \ touched) ∪ novel, EXACTLY and without a corpus
     # distinct: prev is a set, novel is deduped and disjoint from prev

@@ -298,7 +298,15 @@ def run_canonicalize_checkpointed(
     stage (align_pipeline.predict_matches) plus train seeds. Each stage
     reloads from its snapshot on resume, so a killed canonicalization
     resumes without re-running the build OR the component iteration.
+
+    Stage names carry a FINGERPRINT of the link set (row count + an
+    order-independent content hash, one O(|links|) aggregate): a resume
+    with the SAME links reloads snapshots, but re-running the same
+    checkpoint dir with DIFFERENT links (e.g. gold first, then
+    ``--align`` predictions) gets fresh stages instead of silently
+    reusing a canonical graph built from the other link set.
     """
+    from ontoea_spark.functions.hashing import portable_hash64
     from ontoea_spark.operators.dictionary import encode_triples, single_kg_ids
     from ontoea_spark.pipeline.canonicalize import (
         canonical_entity_map,
@@ -311,22 +319,33 @@ def run_canonicalize_checkpointed(
         links = build["links"]
     t = build["triples"].select("s", "p", "o")
 
-    cmap = cp.run_stage("canonical_map", lambda: canonical_entity_map(links))
+    fp_row = links.agg(
+        F.count("*").alias("n"),
+        F.sum(portable_hash64(F.concat_ws("\t", "e1", "e2"))).alias("h"),
+    ).first()
+    fp = f"{fp_row['n']}_{(fp_row['h'] or 0) & 0xFFFFFFFFFFFF:x}"
+
+    def _st(name: str) -> str:
+        return f"{name}_{fp}"
+
+    cmap = cp.run_stage(_st("canonical_map"), lambda: canonical_entity_map(links))
     canon = cp.run_stage(
-        "canonical_triples", lambda: rewrite_triples(t, cmap)
+        _st("canonical_triples"), lambda: rewrite_triples(t, cmap)
     )
-    cent = cp.run_stage("canonical_ent_ids", lambda: single_kg_ids(canon))
+    cent = cp.run_stage(_st("canonical_ent_ids"), lambda: single_kg_ids(canon))
     crel = cp.run_stage(
-        "canonical_rel_ids", lambda: single_kg_ids(canon, roles=("p",))
+        _st("canonical_rel_ids"), lambda: single_kg_ids(canon, roles=("p",))
     )
     cedges = cp.run_stage(
-        "canonical_edges",
+        _st("canonical_edges"),
         lambda: encode_triples(canon, cent, crel),
         repartition=(partitions, "s_id"),
     )
-    if "rows_dropped" not in cp.manifest()["stages"].get("canonical_edges", {}):
+    if "rows_dropped" not in cp.manifest()["stages"].get(
+        _st("canonical_edges"), {}
+    ):
         cp.record_drop_metrics(
-            "canonical_edges", rows_in=canon.count(), rows_out=cedges.count()
+            _st("canonical_edges"), rows_in=canon.count(), rows_out=cedges.count()
         )
 
     def _vertices() -> DataFrame:
@@ -342,7 +361,7 @@ def run_canonicalize_checkpointed(
             .select("id", "uri", "freq", "srcs")
         )
 
-    cverts = cp.run_stage("canonical_vertices", _vertices)
+    cverts = cp.run_stage(_st("canonical_vertices"), _vertices)
     return {
         "canonical_map": cmap,
         "canonical_triples": canon,
@@ -350,5 +369,17 @@ def run_canonicalize_checkpointed(
         "canonical_rel_ids": crel,
         "canonical_edges": cedges,
         "canonical_vertices": cverts,
+        "link_fingerprint": fp,
+        "_stage_names": {
+            n: _st(n)
+            for n in (
+                "canonical_map",
+                "canonical_triples",
+                "canonical_ent_ids",
+                "canonical_rel_ids",
+                "canonical_edges",
+                "canonical_vertices",
+            )
+        },
         "_manager": cp,
     }

@@ -67,22 +67,19 @@ def extend_dictionary(
     anti-join against the matched keys; past the gate (a backfill) it
     degrades to the shuffled anti-join.
     """
-    from ontoea_spark.operators.dictionary import BROADCAST_ROW_THRESHOLD
+    from ontoea_spark.operators.dictionary import (
+        BROADCAST_ROW_THRESHOLD,
+        anti_join_keep_small,
+    )
 
     if broadcast_threshold is None:
         broadcast_threshold = BROADCAST_ROW_THRESHOLD
     freqs = delta_occurrences.groupBy("kg", "elem").agg(
         F.count("*").alias("freq")
-    ).localCheckpoint(eager=True)
-    if freqs.count() <= broadcast_threshold:
-        seen = existing.select("kg", "elem").join(
-            F.broadcast(freqs.select("kg", "elem")), ["kg", "elem"], "left_semi"
-        )
-        unseen = freqs.join(F.broadcast(seen), ["kg", "elem"], "left_anti")
-    else:
-        unseen = freqs.join(
-            existing.select("kg", "elem"), ["kg", "elem"], "left_anti"
-        )
+    )
+    unseen = anti_join_keep_small(
+        freqs, existing, ["kg", "elem"], broadcast_threshold
+    )
     # rank the unseen tail; kg rides through the rank key via elem
     # uniqueness per (kg, elem) — rank within the whole unseen set so
     # ids stay globally dense

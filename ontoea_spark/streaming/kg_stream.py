@@ -204,9 +204,11 @@ def decoded_edges(
     )
 
     ent_m = ent_ids.select("kg", "elem", "id").localCheckpoint(eager=True)
-    small = ent_m.count() <= BROADCAST_ROW_THRESHOLD
-    ent = _gated_broadcast(ent_m, small)
-    rel = _gated_broadcast(rel_ids.select("kg", "elem", "id"), small)
+    rel_m = rel_ids.select("kg", "elem", "id").localCheckpoint(eager=True)
+    # independent gates: the relation vocab is typically tiny even when
+    # the entity vocab is way past the threshold
+    ent = _gated_broadcast(ent_m, ent_m.count() <= BROADCAST_ROW_THRESHOLD)
+    rel = _gated_broadcast(rel_m, rel_m.count() <= BROADCAST_ROW_THRESHOLD)
     return (
         edges.join(
             ent.select(
@@ -395,6 +397,7 @@ def ingest_canonical_stream_batch(
     )
 
     state = read_canonical_state(spark, state_dir, before=batch_id)
+    cur_t = None
     if state is None:
         mapping = canonical_entity_map(delta_links).localCheckpoint(eager=True)
         novel = rewrite_triples(delta_triples, mapping)
@@ -402,23 +405,31 @@ def ingest_canonical_stream_batch(
         changed_map = mapping
     else:
         cur_t, cur_m = state
-        cur_t = cur_t.localCheckpoint(eager=True)
+        # persist (NOT localCheckpoint) the merged corpus view: the
+        # ingest probe-scans it 2-3x within this batch, but pinning an
+        # O(corpus) checkpointed RDD per micro-batch would accumulate
+        # until GC — persist is spill-safe and released in `finally`
+        cur_t = cur_t.persist()
         d = ingest_canonical_batch(cur_t, cur_m, delta_triples, delta_links)
         novel, retracted, changed_map = (
             d.novel_triples,
             d.retracted_triples,
             d.changed_map_rows,
         )
-    base = os.path.join(state_dir, f"v{batch_id}")
-    log = novel.withColumn("op", F.lit("insert")).unionByName(
-        retracted.withColumn("op", F.lit("delete"))
-    )
-    log.withColumn("v", F.lit(batch_id).cast("long")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(base, "triple_log"))
-    changed_map.withColumn("v", F.lit(batch_id).cast("long")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(base, "map_log"))
+    try:
+        base = os.path.join(state_dir, f"v{batch_id}")
+        log = novel.withColumn("op", F.lit("insert")).unionByName(
+            retracted.withColumn("op", F.lit("delete"))
+        )
+        log.withColumn("v", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "triple_log"))
+        changed_map.withColumn("v", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "map_log"))
+    finally:
+        if cur_t is not None:
+            cur_t.unpersist()
 
 
 def compact_canonical_state(spark, state_dir: str) -> int:

@@ -376,6 +376,7 @@ def evaluate_candidates(
     type_mode: str = "compat",
     delay_weight: float = 1.0,
     k_cand: int = 50,
+    reranked_cache: dict | None = None,
 ) -> DataFrame:
     """The 100x-scale V5 protocol: same fused scoring as :func:`evaluate`
     but over a blocked exact top-``k_cand`` candidate table — nothing in
@@ -394,7 +395,8 @@ def evaluate_candidates(
     the pool scores rank k_cand + 1 (hits exact under the margin
     condition, MR lower / MRR upper bound)."""
     reranked, test = _fused_reranked(
-        spark, data, model, split, gamma, type_mode, delay_weight, k_cand
+        spark, data, model, split, gamma, type_mode, delay_weight, k_cand,
+        cache=reranked_cache,
     )
     gold = test.select(F.col("id1").alias("lid"), F.col("id2").alias("gold_rid"))
     ranks = EV.ranks_vs_gold_candidates(reranked, gold, k_cand)
@@ -410,10 +412,20 @@ def _fused_reranked(
     type_mode: str,
     delay_weight: float,
     k_cand: int,
+    cache: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared candidate chain of evaluate_candidates / predict_matches:
     blocked exact top-k_cand by mapped inner product, J11 type fusion,
-    in-pool rerank. Returns (reranked[lid, rid, sim, rk], split_links)."""
+    in-pool rerank. Returns (reranked[lid, rid, sim, rk], split_links).
+
+    ``cache``: caller-owned dict for jobs that consume the SAME split's
+    chain twice (run_job's --align --canonicalize runs the test-split
+    metrics AND the match export) — the reranked frame is checkpointed
+    on first build so the blocked top-k executes once per split, and
+    the cache's lifetime (not a hidden memo) bounds staleness."""
+    key = (split, gamma, type_mode, delay_weight, k_cand)
+    if cache is not None and key in cache:
+        return cache[key]
     test = data.links_split.filter(F.col("split") == split)
     ids1 = np.array([r.id1 for r in test.select("id1").collect()], dtype=np.int64)
     ids2 = np.array([r.id2 for r in test.select("id2").collect()], dtype=np.int64)
@@ -428,6 +440,9 @@ def _fused_reranked(
     fused = _fuse_type_scores(cands, data, compat, gamma)
     w = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
     reranked = fused.withColumn("rk", F.row_number().over(w).cast("long"))
+    if cache is not None:
+        reranked = reranked.localCheckpoint(eager=True)
+        cache[key] = (reranked, test)
     return reranked, test
 
 
@@ -440,6 +455,7 @@ def predict_matches(
     type_mode: str = "compat",
     delay_weight: float = 1.0,
     k_cand: int = 50,
+    reranked_cache: dict | None = None,
 ) -> DataFrame:
     """Predicted alignment pairs — the table canonicalization consumes.
 
@@ -456,7 +472,8 @@ def predict_matches(
     alignments, not predictions)."""
     parts = [
         _fused_reranked(
-            spark, data, model, s, gamma, type_mode, delay_weight, k_cand
+            spark, data, model, s, gamma, type_mode, delay_weight, k_cand,
+            cache=reranked_cache,
         )[0].filter(F.col("rk") == 1)
         for s in splits
     ]

@@ -110,8 +110,13 @@ def main(argv: list[str] | None = None) -> None:
             seed=42,
         )
         model = train(data, cfg)
+        # one candidate chain per split, shared by the metric
+        # computation and (under --canonicalize) the match export —
+        # without the cache the test-split blocked top-k runs twice
+        reranked_cache: dict = {}
         m = evaluate_candidates(
-            spark, data, model, k_cand=args.align_k_cand
+            spark, data, model, k_cand=args.align_k_cand,
+            reranked_cache=reranked_cache,
         ).collect()[0]
         result["align"] = {
             "n_ent": data.n_ent,
@@ -130,7 +135,10 @@ def main(argv: list[str] | None = None) -> None:
             merge_links = (
                 seed_matches(data)
                 .unionByName(
-                    predict_matches(spark, data, model, k_cand=args.align_k_cand)
+                    predict_matches(
+                        spark, data, model, k_cand=args.align_k_cand,
+                        reranked_cache=reranked_cache,
+                    )
                 )
                 .localCheckpoint(eager=True)
             )

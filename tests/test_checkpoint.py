@@ -166,6 +166,19 @@ def test_canonicalize_checkpointed_resume(spark, pages, tmp_path):
     def boom():
         raise AssertionError("canonical stage recomputed despite checkpoint")
 
-    df = cp.run_stage("canonical_edges", boom)
+    df = cp.run_stage(canon["_stage_names"]["canonical_edges"], boom)
     edges2 = [tuple(r) for r in df.orderBy("s_id", "p_id", "o_id").collect()]
     assert edges1 == edges2
+
+    # DIFFERENT links on the same checkpoint dir must NOT reuse the old
+    # snapshots: the link fingerprint names fresh stages, so the merge
+    # actually reflects the new link set (regression: a stale
+    # canonical_map was silently reloaded and mislabeled)
+    from pyspark.sql import functions as F
+
+    half_links = build["links"].orderBy("e1").limit(
+        build["links"].count() // 2
+    ).localCheckpoint(eager=True)
+    canon2 = run_canonicalize_checkpointed(build, links=half_links, partitions=4)
+    assert canon2["link_fingerprint"] != canon["link_fingerprint"]
+    assert canon2["canonical_map"].count() == half_links.count()
