@@ -1344,6 +1344,24 @@ def q_canonical_provenance(spark, sf_dir):
     )
 
 
+def q_canonical_two_hop(spark, sf_dir):
+    """The standing consumer workload over the materialized canonical
+    graph: length-2 path counts per predicate pair — the edge table
+    self-joined on o_id = s_id, one groupBy over (p1, p2). This is the
+    join shape the bucketed edge layout (materialize_canonical) makes
+    exchange-light: the build side reads co-located s_id buckets, so
+    only the probe side shuffles to the bucket layout. Oracle: the same
+    self-join over the unrolled canonical-edges CTE chain."""
+    e = _canonical(spark, sf_dir).edges
+    e1 = e.select(F.col("p_id").alias("p1_id"), F.col("o_id").alias("mid"))
+    e2 = e.select(F.col("s_id").alias("mid"), F.col("p_id").alias("p2_id"))
+    return (
+        e1.join(e2, "mid")
+        .groupBy("p1_id", "p2_id")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+    )
+
+
 def q_ann_lsh_top1(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH bucket join (subquadratic
     candidate generation) + exact cosine re-rank, top-1 per query
@@ -1927,7 +1945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 51-80 last round — now the stalest green rows) come back into
         # the window, as the rotation policy promises -----------------------
         "gold_links": q_gold_links,
-        "attr_triples_parse": q_attr_triples_parse,
         "attr_encode": q_attr_encode,
         "dict_sharing_ids": q_dict_sharing_ids,
         "cv_revision": q_cv_revision,
@@ -2026,6 +2043,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_canonical_edges": q_kg_canonical_edges,
         "kg_canonical_vertices": q_kg_canonical_vertices,
+        # canonical_two_hop (the consumer workload over the merged
+        # graph — adjacency self-join + predicate-pair counts) displaces
+        # attr_triples_parse (S2's parser is code-stable; the attr
+        # family keeps attr_encode in-window, which re-checks the
+        # r5-changed encode path)
+        "canonical_two_hop": q_canonical_two_hop,
         # triple-level crawl provenance (new this round) displaces
         # onto_class_paths — ontology stays anchored by onto_compat_v1,
         # onto_compat_seeded and class_complete_full in-window
@@ -2046,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-green rotation pool (code unchanged since its green row;
         # rotates back next round per the policy above):
         "extract_triples": q_extract_triples,
+        "attr_triples_parse": q_attr_triples_parse,
         "word2vec_parse": q_word2vec_parse,
         "name_pairs": q_name_pairs,
         "kg_components": q_kg_components,
@@ -2218,6 +2242,25 @@ SELECT si.id AS s_id, pi.id AS p_id, oi.id AS o_id
 FROM ct JOIN cid si ON ct.s = si.elem
         JOIN cpid pi ON ct.p = pi.elem
         JOIN cid oi ON ct.o = oi.elem
+"""
+
+    sql["canonical_two_hop"] = f"""
+WITH {_TRIPLES_CTE}, {_LINKS_CTE}, {_CANON_CTE}, {_CANON_IDS_CTE},
+cpf AS (SELECT p AS elem, CAST(count(*) AS BIGINT) AS freq FROM ct GROUP BY p),
+cpid AS (SELECT elem,
+                CAST(row_number() OVER (ORDER BY freq DESC, elem DESC) - 1
+                     AS BIGINT) AS id
+         FROM cpf),
+cedges AS (
+  SELECT si.id AS s_id, pi.id AS p_id, oi.id AS o_id
+  FROM ct JOIN cid si ON ct.s = si.elem
+          JOIN cpid pi ON ct.p = pi.elem
+          JOIN cid oi ON ct.o = oi.elem
+)
+SELECT e1.p_id AS p1_id, e2.p_id AS p2_id,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM cedges e1 JOIN cedges e2 ON e1.o_id = e2.s_id
+GROUP BY e1.p_id, e2.p_id
 """
 
     sql["kg_canonical_vertices"] = f"""
