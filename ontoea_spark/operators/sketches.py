@@ -1,0 +1,219 @@
+"""Mergeable profiling sketches: KMV (bottom-k) distinct/overlap, count-min.
+
+At 10^12 documents, exact ``COUNT(DISTINCT ...)`` over every profiling
+dimension is unaffordable, and this engine's own scale machinery needs
+cardinality and heavy-hitter estimates as *inputs* before exact numbers
+exist: the broadcast size gates (operators/dictionary.py,
+pipeline/incremental.py) decide on a count, and the salted-join path
+(operators/salting.py) wants to know the hot keys. These sketches are the
+one-pass, mergeable way to get those numbers from a 100 TB scan.
+
+Both sketches are **deterministic**, built on the portable md5-derived
+hash family (functions/hashing.py), so the same bytes produce the same
+sketch in Spark and in the DuckDB oracles — unlike Spark's built-in
+``approx_count_distinct`` (HyperLogLog++, engine-private registers) which
+can never be hash-checked cross-engine.
+
+KMV / bottom-k (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07):
+keep the k smallest *distinct* hash values per group. With hashes uniform
+on [0, M): ``est_distinct = (k-1) * M / h_(k)`` once the sketch is full,
+exact below k. Sketches form a semilattice — ``merge = k smallest of the
+union`` — so partial sketches from any partitioning of the data merge to
+exactly the sketch of the whole (asserted bit-for-bit in tests), and the
+same sketches estimate set overlap: the k smallest of minima(A) ∪
+minima(B) are exactly the k smallest of A ∪ B, so
+``|bottom_k(A∪B) ∩ minima(A) ∩ minima(B)| / |bottom_k(A∪B)|`` estimates
+Jaccard(A, B).
+
+Count-min (Cormode & Muthukrishnan, J.Alg'05): a d×w counter matrix,
+``cell(i, h_i(x) mod w) += 1``; point frequency estimate is
+``min_i cell(i, h_i(x))`` — always ≥ the true count, with the error
+bounded by the sum of colliding keys. Purely additive, so Spark's
+partial aggregation (map-side combine) *is* the sketch merge, and the
+materialized size is bounded at d·w rows no matter the input.
+
+Reference parity note: the reference profiles its KGs with exact
+single-machine dict passes (frequency sort, element counts —
+reference preprocessing); these sketches are the rebuild-only at-scale
+analogue of those passes.
+
+Scale shape:
+- ``kmv_sketch`` is ONE shuffle: ``dense_rank() <= k`` over a window on
+  the group key lets Spark 4's ``InferWindowGroupLimit`` keep only k
+  distinct hash values per group *per map task* before the exchange
+  (plan-asserted in tests/test_sketches.py), and the following
+  ``collect_set`` groupBy reuses the window's partitioning — no second
+  exchange, no unbounded collect state.
+- ``cms_sketch`` is ONE shuffle whose output is ≤ d·w rows regardless of
+  input size; the per-partition partial-agg state is bounded the same way.
+- pairwise overlap is a P² op over *sketches* (k longs per group), for
+  low-cardinality profiling keys (predicates, languages, sources); the
+  corpus is only touched by the sketch pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ontoea_spark.functions.hashing import (
+    MINHASH_PARAMS,
+    portable_hash64,
+    minhash_expr,
+)
+
+# Hash space size of portable_hash64: 60 bits. Exactly representable as a
+# double (1 significant bit), as is (k-1)*M for k-1 < 2^52.
+HASH_SPACE = float(1 << 60)
+
+# Static gate for broadcasting a count-min table into the estimate join:
+# the CMS has AT MOST d*w rows by construction, so the decision needs no
+# runtime count() — unlike the corpus-growing frames gated elsewhere.
+CMS_BROADCAST_MAX_CELLS = 1_000_000
+
+
+def _hash_value(value_col: str) -> Column:
+    """Portable 60-bit hash of any column, via its canonical string form
+    (both engines cast BIGINT/VARCHAR identically)."""
+    return portable_hash64(F.col(value_col).cast("string"))
+
+
+def kmv_sketch(
+    df: DataFrame, key_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-key KMV sketch: the k smallest distinct hash values of
+    ``value_col``, as a sorted array. Returns ``[*key_cols, minima]``.
+
+    ``dense_rank`` (not row_number over a pre-distinct) handles duplicate
+    values in one pass: equal hashes share a rank, so ``rank <= k`` keeps
+    exactly the k smallest *distinct* hashes, and the optimizer's
+    WindowGroupLimit bounds per-task state to k ranks before the shuffle.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("__h")
+    ranked = (
+        df.select(*key_cols, _hash_value(value_col).alias("__h"))
+        .withColumn("__r", F.dense_rank().over(w))
+        .filter(F.col("__r") <= k)
+    )
+    # the groupBy key equals the window partitioning -> no second exchange
+    return ranked.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_set("__h")).alias("minima")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: exact (= |minima|) while
+    the sketch is not full, else ``(k-1) * M / h_(k)``. Returns
+    ``[*keys, n_minima, est_distinct]``."""
+    size = F.size("minima")
+    kth = F.element_at("minima", k).cast("double")
+    est = F.when(size < k, size.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / kth
+    )
+    return sketch.select(
+        *[c for c in sketch.columns if c != "minima"],
+        size.cast("int").alias("n_minima"),
+        F.round(est).cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, key_cols: list[str], k: int
+) -> DataFrame:
+    """Merge two KMV sketch tables: per key, the k smallest of the union
+    of their minima. Exactly ``kmv_sketch`` of the concatenated inputs
+    (semilattice — asserted bit-for-bit in tests), so shard-level sketches
+    roll up without touching the shards again."""
+    empty = F.array().cast("array<long>")
+    a2 = a.select(*key_cols, F.col("minima").alias("__ma"))
+    b2 = b.select(*key_cols, F.col("minima").alias("__mb"))
+    j = a2.join(b2, on=list(key_cols), how="full_outer")
+    merged = F.slice(
+        F.array_sort(
+            F.array_union(
+                F.coalesce("__ma", empty), F.coalesce("__mb", empty)
+            )
+        ),
+        1,
+        k,
+    )
+    return j.select(*key_cols, merged.alias("minima"))
+
+
+def kmv_pairwise_jaccard(
+    sketch: DataFrame, key_col: str, k: int
+) -> DataFrame:
+    """Estimated Jaccard overlap between every pair of groups, from their
+    KMV sketches alone (Beyer et al. SIGMOD'07): restrict to the k
+    smallest hashes of the pair's union (== k smallest of A∪B), count how
+    many sit in both sketches. Exact while both sets fit the sketch.
+
+    Returns ``[<key>_a, <key>_b, k_used, inter_k, jaccard_est]`` for
+    key_a < key_b. P² pairs over k-long arrays: a profiling op for
+    low-cardinality keys — the corpus was only touched by the sketch."""
+    a = sketch.select(
+        F.col(key_col).alias(f"{key_col}_a"), F.col("minima").alias("__ma")
+    )
+    b = sketch.select(
+        F.col(key_col).alias(f"{key_col}_b"), F.col("minima").alias("__mb")
+    )
+    pairs = a.join(b, F.col(f"{key_col}_a") < F.col(f"{key_col}_b"))
+    union_k = F.slice(F.array_sort(F.array_union("__ma", "__mb")), 1, k)
+    inter = F.array_intersect(
+        union_k, F.array_intersect("__ma", "__mb")
+    )
+    return pairs.select(
+        f"{key_col}_a",
+        f"{key_col}_b",
+        F.size(union_k).cast("int").alias("k_used"),
+        F.size(inter).cast("int").alias("inter_k"),
+        F.round(F.size(inter) / F.size(union_k), 6).alias("jaccard_est"),
+    )
+
+
+def _cms_cols(hcol: Column, d: int, w: int) -> list[Column]:
+    if not 1 <= d <= len(MINHASH_PARAMS):
+        raise ValueError(f"d must be in [1, {len(MINHASH_PARAMS)}]")
+    return [
+        (minhash_expr(hcol, a, b) % w).cast("int")
+        for (a, b) in MINHASH_PARAMS[:d]
+    ]
+
+
+def cms_sketch(df: DataFrame, value_col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min sketch of ``value_col`` frequencies: ``[row, col, cnt]``
+    with row ∈ [0, d), col ∈ [0, w). One shuffle; ≤ d·w output rows and
+    bounded partial-agg state regardless of input size — the additive
+    merge IS Spark's map-side combine."""
+    cells = df.select(
+        F.posexplode(F.array(*_cms_cols(_hash_value(value_col), d, w))).alias(
+            "row", "col"
+        )
+    )
+    return cells.groupBy("row", "col").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, values: DataFrame, value_col: str, d: int, w: int
+) -> DataFrame:
+    """Point frequency estimates for each (distinct) row of ``values``:
+    ``min_i cell(i, h_i(x))``, 0-filled for never-seen cells. Always ≥ the
+    true count. Returns ``values + est_count``.
+
+    The CMS side is ≤ d·w rows *by construction*, so the broadcast
+    decision is static — no runtime count() gate needed."""
+    vcells = values.select(
+        value_col,
+        F.posexplode(
+            F.array(*_cms_cols(_hash_value(value_col), d, w))
+        ).alias("row", "col"),
+    )
+    cms_side = F.broadcast(cms) if d * w <= CMS_BROADCAST_MAX_CELLS else cms
+    joined = vcells.join(cms_side, ["row", "col"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+            "est_count"
+        )
+    )

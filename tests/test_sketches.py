@@ -1,0 +1,125 @@
+"""KMV / count-min sketch gates: estimator exactness below capacity,
+estimation quality at scale, bit-exact semilattice merge, overestimate
+invariant, and the single-exchange bounded-state plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ontoea_spark.operators import sketches as SK
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _grouped_ids(spark, spec):
+    """spec: {group: iterable of int values} -> DataFrame[g, v]."""
+    rows = [(g, int(v)) for g, vals in spec.items() for v in vals]
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_kmv_exact_below_capacity(spark):
+    # 30 distinct values, each duplicated 3x: the sketch is not full, so
+    # the estimate IS the exact distinct count (dense_rank dedups).
+    df = _grouped_ids(spark, {"a": list(range(30)) * 3})
+    est = SK.kmv_estimate(SK.kmv_sketch(df, ["g"], "v", k=64), k=64).collect()
+    assert len(est) == 1
+    assert est[0].n_minima == 30
+    assert est[0].est_distinct == 30
+
+
+def test_kmv_estimator_full_sketch(spark):
+    # 5000 distinct values, k=64: relative error should sit within a few
+    # standard errors (1/sqrt(k-1) ~ 12.6%); deterministic hash -> the
+    # assertion is a fixed fact, not a flaky sample.
+    df = spark.range(5000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    est = SK.kmv_estimate(SK.kmv_sketch(df, ["g"], "v", k=64), k=64).collect()
+    assert est[0].n_minima == 64
+    rel = abs(est[0].est_distinct / 5000.0 - 1.0)
+    assert rel < 0.4, (est[0].est_distinct, rel)
+
+
+def test_kmv_merge_is_sketch_of_union(spark):
+    # Semilattice: merging shard sketches == sketching the concatenation,
+    # bit for bit — the property that makes shard-level rollup exact.
+    a = _grouped_ids(spark, {"x": range(0, 3000), "only_a": range(10)})
+    b = _grouped_ids(spark, {"x": range(2000, 5000), "only_b": range(5)})
+    k = 32
+    merged = SK.kmv_merge(
+        SK.kmv_sketch(a, ["g"], "v", k=k),
+        SK.kmv_sketch(b, ["g"], "v", k=k),
+        ["g"],
+        k=k,
+    )
+    direct = SK.kmv_sketch(a.unionByName(b), ["g"], "v", k=k)
+    got = {r.g: r.minima for r in merged.collect()}
+    want = {r.g: r.minima for r in direct.collect()}
+    assert got == want
+    assert len(want["only_a"]) == 10 and len(want["only_b"]) == 5
+
+
+def test_kmv_jaccard_exact_below_capacity(spark):
+    # Sets smaller than k: the "estimate" is the exact Jaccard.
+    df = _grouped_ids(spark, {"x": range(0, 10), "y": range(5, 15)})
+    sk = SK.kmv_sketch(df, ["g"], "v", k=64)
+    row = SK.kmv_pairwise_jaccard(sk, "g", k=64).collect()[0]
+    assert (row.g_a, row.g_b) == ("x", "y")
+    assert row.k_used == 15 and row.inter_k == 5
+    assert abs(row.jaccard_est - 5 / 15) < 1e-6
+
+
+def test_kmv_jaccard_estimator(spark):
+    # |A|=|B|=3000, overlap 1000, union 5000 -> true J = 0.2; k=64.
+    df = _grouped_ids(spark, {"x": range(0, 3000), "y": range(2000, 5000)})
+    sk = SK.kmv_sketch(df, ["g"], "v", k=64)
+    row = SK.kmv_pairwise_jaccard(sk, "g", k=64).collect()[0]
+    assert row.k_used == 64
+    assert abs(row.jaccard_est - 0.2) < 0.15, row.jaccard_est
+
+
+def test_cms_never_underestimates(spark):
+    # 50 keys with known skewed counts; wide sketch (d=4, w=4096).
+    df = spark.range(50).select(
+        F.col("id").alias("v"),
+        F.explode(F.sequence(F.lit(1), F.col("id") % 7 + 1)).alias("rep"),
+    ).select("v")
+    exact = {r.v: r.cnt for r in df.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+    cms = SK.cms_sketch(df, "v", d=4, w=4096)
+    est = SK.cms_estimate(cms, df.select("v").distinct(), "v", d=4, w=4096)
+    got = {r.v: r.est_count for r in est.collect()}
+    assert set(got) == set(exact)
+    assert all(got[v] >= exact[v] for v in exact)
+    # wide sketch, 50 keys: the min-over-d rows resolves every collision
+    assert got == exact
+
+
+def test_cms_narrow_sketch_overestimates_but_bounded(spark):
+    # w=4 forces collisions: estimates exceed truth somewhere, never under,
+    # and each estimate is bounded by the total mass (the row sum).
+    df = spark.range(200).select((F.col("id") % 50).alias("v"))
+    cms = SK.cms_sketch(df, "v", d=4, w=4)
+    est = SK.cms_estimate(cms, df.select("v").distinct(), "v", d=4, w=4)
+    rows = est.collect()
+    assert all(r.est_count >= 4 for r in rows)  # exact count is 4 each
+    assert any(r.est_count > 4 for r in rows)
+    assert all(r.est_count <= 200 for r in rows)
+
+
+def test_kmv_sketch_plan_bounded_single_exchange(spark):
+    # The scale contract: ONE exchange (the window's), with the
+    # WindowGroupLimit rewrite bounding per-task state to k ranks before
+    # it, and the collect_set groupBy reusing the window partitioning.
+    df = spark.range(10000).select(
+        (F.col("id") % 7).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    sk = SK.kmv_sketch(df, ["g"], "v", k=16)
+    plan = _plan(sk)
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_cms_sketch_plan_single_exchange(spark):
+    df = spark.range(10000).select(F.col("id").alias("v"))
+    plan = _plan(SK.cms_sketch(df, "v", d=4, w=64))
+    assert plan.count("Exchange") == 1, plan
