@@ -77,6 +77,49 @@ def write_bucketed(
     )
 
 
+def write_day_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "first_ts",
+    mode: str = "overwrite",
+) -> None:
+    """Write a table partitioned by crawl DAY (``ts DIV 86400`` as an
+    integer day number) — the layout for time-keyed crawl artifacts
+    (provenance, snapshots) whose standing queries are time-ranged: a
+    day-range predicate prunes whole partition directories at planning
+    time instead of scanning the full history (PartitionFilters — plan-
+    asserted in tests/test_tables.py). The epoch-day integer, not a
+    formatted date string, keeps the partition value session-TZ-proof.
+    Iceberg's analogue is the hidden ``days(ts)`` partition transform."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(
+            "day_bucket", (F.col(ts_col) / 86400).cast("int")
+        )
+        .write.mode(mode)
+        .partitionBy("day_bucket")
+        .parquet(path)
+    )
+
+
+def read_day_range(
+    spark: SparkSession, path: str, start_ts: int, end_ts: int, ts_col: str = "first_ts"
+) -> DataFrame:
+    """Read a day-partitioned table restricted to ``[start_ts, end_ts]``:
+    the derived day-bucket bounds prune partition directories (coarse,
+    planning-time), the raw timestamp predicate trims the boundary days
+    (exact, pushed to the row-group scan)."""
+    from pyspark.sql import functions as F
+
+    lo, hi = start_ts // 86400, end_ts // 86400
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("day_bucket").between(lo, hi))
+        .filter(F.col(ts_col).between(start_ts, end_ts))
+    )
+
+
 def write_edges(
     df: DataFrame,
     target: str,

@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> None:
     # on the build's gold links, or — when --align also ran — on the
     # train seeds plus the model's predicted matches.
     ap.add_argument("--canonicalize", action="store_true")
+    # crawl-provenance product table: every canonical (s,p,o) with its
+    # distinct-page corroboration, mention count, and crawl-time window,
+    # written partitioned by crawl DAY so the standing time-ranged reads
+    # prune whole partition directories (sources/tables.py). Opt-in: it
+    # costs a second mention-level pass over the pages text.
+    ap.add_argument("--provenance", action="store_true")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -167,6 +173,23 @@ def main(argv: list[str] | None = None) -> None:
             "tables": tables,
             "seconds": round(time.perf_counter() - t2, 3),
         }
+        if args.provenance:
+            from ontoea_spark.pipeline.canonicalize import (
+                canonical_triple_provenance,
+            )
+            from ontoea_spark.pipeline.extract import extract_pages_text
+            from ontoea_spark.pipeline.kg_build import split_two_kgs
+            from ontoea_spark.sources.tables import write_day_partitioned
+
+            tagged = split_two_kgs(extract_pages_text(pages))
+            prov = canonical_triple_provenance(
+                tagged, canon["canonical_map"], namespace_col="kg"
+            )
+            prov_path = os.path.join(
+                args.checkpoint_dir, "canonical_tables", "provenance"
+            )
+            write_day_partitioned(prov, prov_path, ts_col="first_ts")
+            result["canonical"]["provenance_path"] = prov_path
     print(json.dumps(result))
     spark.stop()
 

@@ -108,6 +108,8 @@ def test_spark_submit_pyfiles_job(tmp_path):
             # canonicalization on seeds + predicted matches (wiring, not
             # quality — the 4-epoch model's predictions just need to flow)
             "--canonicalize",
+            # day-partitioned crawl-provenance product table
+            "--provenance",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -131,6 +133,12 @@ def test_spark_submit_pyfiles_job(tmp_path):
     }
     assert os.path.isdir(os.path.join(cpdir, "canonical_tables", "edges"))
     assert os.path.isdir(os.path.join(cpdir, "canonical_tables", "vertices"))
+    # the provenance table landed day-partitioned (day_bucket= dirs)
+    prov_dir = os.path.join(cpdir, "canonical_tables", "provenance")
+    assert stats["canonical"]["provenance_path"] == prov_dir
+    assert any(
+        d.startswith("day_bucket=") for d in os.listdir(prov_dir)
+    ), os.listdir(prov_dir)
 
 
 def test_canonicalize_checkpointed_resume(spark, pages, tmp_path):

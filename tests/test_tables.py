@@ -73,3 +73,44 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS edges_b")
         spark.sql("DROP TABLE IF EXISTS deg_b")
+
+
+def test_day_partition_pruning(spark, tmp_path):
+    """A day-range read over the day-partitioned layout must prune whole
+    partition directories at planning time (PartitionFilters on
+    day_bucket, fewer input files) and still return exactly the rows in
+    the timestamp range — the crawl-history layout where a one-week query
+    never touches the other years."""
+    from pyspark.sql import functions as F
+
+    from ontoea_spark.sources.tables import read_day_range, write_day_partitioned
+
+    base = 1704067200  # 2024-01-01 UTC, the pages fixture epoch
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(base) + F.col("id") * 3600).alias("first_ts"),  # ~42 days
+    )
+    out = str(tmp_path / "prov_days")
+    write_day_partitioned(df, out, ts_col="first_ts")
+
+    start, end = base + 5 * 86400, base + 7 * 86400 - 1  # days 5..6
+    got = read_day_range(spark, out, start, end, ts_col="first_ts")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    assert "day_bucket" in plan[plan.index("PartitionFilters") :][:300], plan
+
+    def files_read(df):
+        # the scan's own post-execution metric (inputFiles() ignores
+        # pushed partition filters, so it can't evidence pruning)
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        return leaves.apply(0).metrics().apply("numFiles").value()
+
+    full = files_read(spark.read.parquet(out))
+    pruned = files_read(read_day_range(spark, out, start, end, ts_col="first_ts"))
+    assert pruned < full, (pruned, full)
+    assert pruned <= 2 * (full // 42 + 1), (pruned, full)  # ~2 of ~43 days
+
+    rows = got.collect()
+    assert len(rows) == 48  # 2 days x 24 hourly rows
+    assert all(start <= r.first_ts <= end for r in rows)
