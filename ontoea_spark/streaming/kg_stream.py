@@ -455,3 +455,152 @@ def compact_canonical_state(spark, state_dir: str) -> int:
         shutil.rmtree(os.path.join(state_dir, f"v{v}"))
     os.rename(tmp, os.path.join(state_dir, f"v{vmax}"))
     return vmax
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus profile: sketch state (additive CMS + semilattice KMV)
+# ---------------------------------------------------------------------------
+#
+# The profiling sketches (operators/sketches.py) are the two easiest
+# kinds of streaming state there are, and for opposite algebraic
+# reasons: count-min cells are an additive monoid (the host-graph
+# partial-sum shape — read = groupBy-sum over deltas) and KMV minima are
+# a semilattice (merge = k-smallest-of-union — read = k-minima over the
+# flattened deltas). Both mean a micro-batch commits ONLY its own
+# batch-local sketch: zero parent reads, O(batch) write cost, and the
+# merged view equals the one-shot sketch of all rows EXACTLY (monoid /
+# semilattice laws — asserted by tests/test_streaming.py), so a crawl's
+# running cardinality and hot-key profile stays current per micro-batch
+# without ever rescanning the corpus.
+
+_PROFILE_TABLES = ("kmv_minima", "cms_cells")
+
+
+def ingest_profile_batch(
+    df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    k: int = 64,
+    d: int = 4,
+    w: int = 1024,
+) -> None:
+    """foreachBatch body: this batch's rows -> its OWN KMV + CMS sketches,
+    committed as the batch's versioned delta dir (replay overwrites only
+    its own version — idempotent)."""
+    from ontoea_spark.operators.sketches import cms_sketch, kmv_sketch
+
+    base = os.path.join(state_dir, f"v{batch_id}")
+    kmv_sketch(df, list(key_cols), value_col, k).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "kmv_minima"))
+    cms_sketch(df, value_col, d, w).write.mode("overwrite").parquet(
+        os.path.join(base, "cms_cells")
+    )
+
+
+def read_profile(
+    spark,
+    state_dir: str,
+    key_cols: tuple[str, ...],
+    k: int = 64,
+    before: int | None = None,
+) -> tuple[DataFrame, DataFrame] | None:
+    """(kmv_sketch, cms) merged over committed deltas: KMV per key is the
+    k smallest of the union of the batch minima (collect_list state is
+    bounded at k * n_versions per key; compaction resets it), CMS is the
+    host-graph groupBy-sum. None if nothing committed yet."""
+    versions = _committed_versions(state_dir, tables=_PROFILE_TABLES)
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
+        return None
+    kmv = (
+        spark.read.parquet(
+            *[os.path.join(state_dir, f"v{v}", "kmv_minima") for v in versions]
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("minima")))
+                ),
+                1,
+                k,
+            ).alias("minima")
+        )
+    )
+    cms = (
+        spark.read.parquet(
+            *[os.path.join(state_dir, f"v{v}", "cms_cells") for v in versions]
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return kmv, cms
+
+
+def streaming_corpus_profile(
+    spark,
+    pages_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+    k: int = 64,
+    d: int = 4,
+    w: int = 1024,
+):
+    """Running crawl profile over a stream of pages files: per-lang
+    distinct-URL KMV + URL-frequency CMS (recrawl hot-key detector),
+    maintained per micro-batch at O(batch) cost. availableNow drain for
+    the bounded test mode; a production crawl runs unbounded."""
+    from ontoea_spark.streaming.ingest import read_pages_stream
+
+    stream = read_pages_stream(
+        spark, pages_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_profile_batch(
+            batch_df.select("lang", "url"),
+            state_dir,
+            batch_id,
+            ("lang",),
+            "url",
+            k,
+            d,
+            w,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def compact_profile(
+    spark, state_dir: str, key_cols: tuple[str, ...], k: int = 64
+) -> int:
+    """Merge all committed sketch deltas into one (stop-the-world
+    maintenance, same contract as compact_host_graph): semilattice and
+    monoid merges are idempotent/associative, so re-reading the single
+    compacted delta reproduces the merged view exactly."""
+    import shutil
+
+    versions = _committed_versions(state_dir, tables=_PROFILE_TABLES)
+    if not versions:
+        raise ValueError(f"no committed profile state under {state_dir}")
+    vmax = versions[-1]
+    kmv, cms = read_profile(spark, state_dir, key_cols, k)
+    tmp = os.path.join(state_dir, f"_compact_v{vmax}")
+    kmv.write.mode("overwrite").parquet(os.path.join(tmp, "kmv_minima"))
+    cms.write.mode("overwrite").parquet(os.path.join(tmp, "cms_cells"))
+    for v in versions:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+    os.rename(tmp, os.path.join(state_dir, f"v{vmax}"))
+    return vmax

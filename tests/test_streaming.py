@@ -333,3 +333,55 @@ def test_streaming_canonical_state_converges_to_batch(spark, tmp_path):
     compact_canonical_state(spark, state)
     got_t3, got_m3 = read_canonical_state(spark, state)
     assert rows(got_t3) == rows(got_t) and rows(got_m3) == rows(got_m)
+
+
+def test_streaming_profile_sketches_converge_to_batch(spark, tmp_path):
+    """Sketch state as a stream: the merged KMV minima (semilattice) and
+    CMS cells (additive monoid) over per-batch deltas must equal the
+    one-shot sketches of all rows BIT-FOR-BIT — no incremental deviation
+    exists for either algebra. Replay is idempotent; compaction changes
+    layout, not content."""
+    from ontoea_spark.operators.sketches import cms_sketch, kmv_sketch
+    from ontoea_spark.pipeline.pages import synthesize_pages
+    from ontoea_spark.streaming.kg_stream import (
+        _committed_versions,
+        compact_profile,
+        ingest_profile_batch,
+        read_profile,
+        streaming_corpus_profile,
+    )
+
+    pages = synthesize_pages(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    rows_in = pages.select("lang", "url")
+    src = str(tmp_path / "pages_profile_stream")
+    pages.repartition(6).write.parquet(src)
+    state = str(tmp_path / "profile_state")
+    cp = str(tmp_path / "cp_profile")
+
+    streaming_corpus_profile(spark, src, state, cp, max_files_per_trigger=2, k=16)
+    assert len(_committed_versions(state, tables=("kmv_minima", "cms_cells"))) >= 2
+
+    def kmv_rows(df):
+        return {(r.lang, tuple(r.minima)) for r in df.collect()}
+
+    def cms_rows(df):
+        return {(r.row, r.col, r.cnt) for r in df.collect()}
+
+    want_kmv = kmv_rows(kmv_sketch(rows_in, ["lang"], "url", k=16))
+    want_cms = cms_rows(cms_sketch(rows_in, "url", d=4, w=1024))
+    kmv, cms = read_profile(spark, state, ("lang",), k=16)
+    assert kmv_rows(kmv) == want_kmv and len(want_kmv) > 0
+    assert cms_rows(cms) == want_cms and len(want_cms) > 0
+
+    # crash-replay idempotence: same (rows, batch_id) twice == once
+    rstate = str(tmp_path / "profile_state_replay")
+    ingest_profile_batch(rows_in, rstate, 0, ("lang",), "url", k=16)
+    ingest_profile_batch(rows_in, rstate, 0, ("lang",), "url", k=16)
+    kmv_r, cms_r = read_profile(spark, rstate, ("lang",), k=16)
+    assert kmv_rows(kmv_r) == want_kmv and cms_rows(cms_r) == want_cms
+
+    # compaction: single delta, identical merged content
+    vmax = compact_profile(spark, state, ("lang",), k=16)
+    assert _committed_versions(state, tables=("kmv_minima", "cms_cells")) == [vmax]
+    kmv_c, cms_c = read_profile(spark, state, ("lang",), k=16)
+    assert kmv_rows(kmv_c) == want_kmv and cms_rows(cms_c) == want_cms
