@@ -101,6 +101,38 @@ def kmv_sketch(
     )
 
 
+def kmv_sketch_global(
+    df: DataFrame, value_col: str, k: int = 64, n_buckets: int = 256
+) -> DataFrame:
+    """Whole-corpus (un-keyed) KMV sketch as a single ``[minima]`` row.
+
+    The naive form — ``kmv_sketch`` with an empty key — would put the
+    entire corpus through ONE window partition (the single-partition
+    WindowExec scale killer). Instead: bucket rows by ``hash mod
+    n_buckets`` so the bottom-k runs per bucket in parallel (same
+    WindowGroupLimit-bounded shape), then merge the ≤ n_buckets·k
+    surviving minima in one tiny final aggregate — correct because each
+    global minimum is also a minimum of its own bucket (the semilattice
+    merge again). Feed the result to :func:`kmv_estimate`."""
+    w = Window.partitionBy("__b").orderBy("__h")
+    ranked = (
+        df.select(_hash_value(value_col).alias("__h"))
+        .withColumn("__b", F.pmod("__h", F.lit(n_buckets)))
+        .withColumn("__r", F.dense_rank().over(w))
+        .filter(F.col("__r") <= k)
+    )
+    parts = ranked.groupBy("__b").agg(
+        F.collect_set("__h").alias("part")
+    )
+    return parts.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("part")))),
+            1,
+            k,
+        ).alias("minima")
+    )
+
+
 def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
     """Distinct-count estimate from a KMV sketch: exact (= |minima|) while
     the sketch is not full, else ``(k-1) * M / h_(k)``. Returns

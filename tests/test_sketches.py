@@ -123,3 +123,24 @@ def test_cms_sketch_plan_single_exchange(spark):
     df = spark.range(10000).select(F.col("id").alias("v"))
     plan = _plan(SK.cms_sketch(df, "v", d=4, w=64))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_kmv_global_matches_keyed_constant(spark):
+    # The two-level bucketed global sketch must equal the keyed sketch
+    # under a constant key bit-for-bit (same minima set, different plan),
+    # and its plan must window on the bucket column — never a single
+    # corpus-wide window partition.
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(F.col("id").alias("v"))
+    glob = SK.kmv_sketch_global(df, "v", k=64, n_buckets=32)
+    keyed = SK.kmv_sketch(
+        df.withColumn("g", F.lit("all")), ["g"], "v", k=64
+    )
+    assert glob.collect()[0].minima == keyed.collect()[0].minima
+    est = SK.kmv_estimate(glob, k=64).collect()[0]
+    assert est.n_minima == 64
+    assert abs(est.est_distinct / 5000.0 - 1.0) < 0.4
+    plan = _plan(glob)
+    assert "WindowGroupLimit" in plan, plan
+    assert "__b" in plan[plan.index("WindowGroupLimit") :][:200], plan
