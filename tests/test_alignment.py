@@ -417,8 +417,18 @@ def test_predict_matches_feed_canonicalize(spark, bench_data, bench_model):
 
     b = generate_two_kg(spark, n_ent=300, seed=42)
     gold = {r.e1: r.e2 for r in b.links.collect()}
+    # snapshot the generated inputs and the prediction chain once —
+    # canonicalize_kg consumes them through several EAGER stages
+    # (components, rewrite checkpoint, dictionary ranks), and without
+    # this each stage re-derives the whole generation / blocked-top-k
+    # lineage (measured: 145s -> ~75s for this test). run_job does the
+    # same localCheckpoint on its merge links for the same reason.
+    t1 = b.triples1.localCheckpoint(eager=True)
+    t2 = b.triples2.localCheckpoint(eager=True)
 
-    pred = predict_matches(spark, bench_data, bench_model)
+    pred = predict_matches(spark, bench_data, bench_model).localCheckpoint(
+        eager=True
+    )
     rows = pred.collect()
     n_eval = bench_data.links_split.filter("split != 'train'").count()
     assert len(rows) == n_eval
@@ -431,15 +441,13 @@ def test_predict_matches_feed_canonicalize(spark, bench_data, bench_model):
     assert len(seed_rows) == n_train
     assert all(gold[r.e1] == r.e2 for r in seed_rows)
 
-    merged = canonicalize_kg(
-        b.triples1, b.triples2, seeds.unionByName(pred)
-    )
+    merged = canonicalize_kg(t1, t2, seeds.unionByName(pred))
     # every kg2 entity that got a (seed or predicted) partner merged away:
     # canonical vertex count = pre-merge entities - distinct merged pairs
     n_pre = (
-        b.triples1.unionByName(b.triples2)
+        t1.unionByName(t2)
         .selectExpr("s AS e").unionAll(
-            b.triples1.unionByName(b.triples2).selectExpr("o AS e")
+            t1.unionByName(t2).selectExpr("o AS e")
         ).distinct().count()
     )
     n_merged = merged.ent_ids.count()
