@@ -79,7 +79,11 @@ def _hash_value(value_col: str) -> Column:
 
 
 def kmv_sketch(
-    df: DataFrame, key_cols: list[str], value_col: str, k: int = 64
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """Per-key KMV sketch: the k smallest distinct hash values of
     ``value_col``, as a sorted array. Returns ``[*key_cols, minima]``.
@@ -87,13 +91,25 @@ def kmv_sketch(
     ``dense_rank`` (not row_number over a pre-distinct) handles duplicate
     values in one pass: equal hashes share a rank, so ``rank <= k`` keeps
     exactly the k smallest *distinct* hashes, and the optimizer's
-    WindowGroupLimit bounds per-task state to k ranks before the shuffle.
+    WindowGroupLimit bounds per-task state to k *ranks* before the
+    shuffle — ONE exchange total.
+
+    That bound is on ranks, not rows: every duplicate of a surviving
+    value shares its rank and passes through. When single (key, value)
+    pairs repeat millions of times (recrawled hot URLs), set
+    ``pre_distinct=True``: a ``groupBy(key, hash)`` dedups with map-side
+    partial aggregation FIRST, so the heavy duplication collapses inside
+    each map task and only distinct pairs ever shuffle — a second (small)
+    exchange buys a bounded first one. Same result bit-for-bit (asserted
+    in tests); pick by duplication profile.
     """
+    hashed = df.select(*key_cols, _hash_value(value_col).alias("__h"))
+    if pre_distinct:
+        # compiles to an Aggregate -> partial (map-side) dedup per task
+        hashed = hashed.dropDuplicates()
     w = Window.partitionBy(*key_cols).orderBy("__h")
-    ranked = (
-        df.select(*key_cols, _hash_value(value_col).alias("__h"))
-        .withColumn("__r", F.dense_rank().over(w))
-        .filter(F.col("__r") <= k)
+    ranked = hashed.withColumn("__r", F.dense_rank().over(w)).filter(
+        F.col("__r") <= k
     )
     # the groupBy key equals the window partitioning -> no second exchange
     return ranked.groupBy(*key_cols).agg(

@@ -144,3 +144,33 @@ def test_kmv_global_matches_keyed_constant(spark):
     plan = _plan(glob)
     assert "WindowGroupLimit" in plan, plan
     assert "__b" in plan[plan.index("WindowGroupLimit") :][:200], plan
+
+
+def test_kmv_pre_distinct_same_result_partial_agg_plan(spark):
+    # Duplicate-heavy input: pre_distinct must give the identical sketch
+    # while its plan dedups with a partial (map-side) aggregate BEFORE
+    # the first exchange — the shape that stops a hot (key, value) pair
+    # from flooding the shuffle through the shared dense_rank.
+    df = spark.range(20000).select(
+        F.lit("g").alias("g"), (F.col("id") % 40).alias("v")  # 500x dups
+    )
+    plain = SK.kmv_sketch(df, ["g"], "v", k=16)
+    dedup = SK.kmv_sketch(df, ["g"], "v", k=16, pre_distinct=True)
+    # plan BEFORE collect: the initial (non-AQE-rewritten) tree, printed once
+    plan = _plan(dedup)
+    assert plain.collect()[0].minima == dedup.collect()[0].minima
+    # the dedup exchange partitions on (key, hash)...
+    i = plan.index("Exchange hashpartitioning(g")
+    assert "__h" in plan[i : i + 80], plan
+    # ...and the plan prints root-first, so the map-side partial
+    # aggregate (upstream of that exchange) is a HashAggregate BELOW it
+    assert "HashAggregate" in plan[i:], plan
+    # the plain shape never shuffles on (key, hash) — its one exchange
+    # partitions on the key alone
+    pplan = _plan(plain)
+    starts = [
+        j
+        for j in range(len(pplan))
+        if pplan.startswith("Exchange hashpartitioning(", j)
+    ]
+    assert all("__h" not in pplan[j : j + 80] for j in starts), pplan
