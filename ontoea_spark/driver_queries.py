@@ -1979,6 +1979,28 @@ def q_cms_degree(spark, sf_dir):
     return est.join(exact, "o").select("o", "exact_count", "est_count")
 
 
+def q_ams_self_join(spark, sf_dir):
+    """AMS F2 sketch (operators/sketches.py): per-predicate SELF-JOIN
+    SIZE of kg1's object column — the d=8 ±1-counter estimate (mean of
+    squares) next to the exact sum of squared frequencies. F2 prices an
+    equi-join's fanout before running it (the canonical_two_hop edge
+    self-join produces exactly sum deg(o)^2 paths) and flags skew
+    (F2/n^2 -> 1 means one hot key dominates — the salting trigger).
+    Additive monoid: map-side combine IS the sketch merge, d longs of
+    state per key."""
+    from ontoea_spark.operators import sketches as SKC
+
+    t = _triples(spark, sf_dir, "kg1")
+    est = SKC.ams_f2_estimate(SKC.ams_f2_sketch(t, ["p"], "o", d=8))
+    exact = (
+        t.groupBy("p", "o")
+        .agg(F.count("*").alias("c"))
+        .groupBy("p")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    )
+    return est.join(exact, "p").select("p", "f2_est", "f2_exact")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All driver-checkable queries, ordered for the driver's 50-query window.
 
@@ -2032,7 +2054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "csls_top1": q_csls_top1,
         "csls_top1_candidates": q_csls_top1_candidates,
-        "hits_metrics_candidates": q_hits_metrics_candidates,
         "onto_compat_v1": q_onto_compat_v1,
         "rel_class_entropy": q_rel_class_entropy,
         "quality_score": q_quality_score,
@@ -2069,6 +2090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct_users,
         "predicate_overlap": q_predicate_overlap,
         "cms_degree": q_cms_degree,
+        # ams_self_join (F2/self-join-size estimator) displaces
+        # hits_metrics_candidates — the rank-metrics family stays
+        # anchored by alignment_eval (same rank_metrics code path over
+        # frozen fixtures) and the csls candidate pair in-window
+        "ams_self_join": q_ams_self_join,
         # web link-graph family (new this round): href extraction, host
         # rollup, host PageRank — displace three anchors that are r4-green
         # with unchanged code (crawl_latest_snapshot: URL family keeps
@@ -2136,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_links": q_gold_links,
         "attr_encode": q_attr_encode,
         "cv_revision": q_cv_revision,
+        "hits_metrics_candidates": q_hits_metrics_candidates,
         # r4-green rotation pool (code unchanged since its green row;
         # rotates back next round per the policy above):
         "extract_triples": q_extract_triples,
@@ -4443,6 +4470,23 @@ exact AS (SELECT o, CAST(count(*) AS BIGINT) AS exact_count
           FROM tt GROUP BY o)
 SELECT est.o, exact.exact_count, est.est_count
 FROM est JOIN exact USING (o)
+"""
+
+    # AMS F2: same ±1 hash family, per-key sign sums, mean of squares —
+    # integer algebra until one double division, identical both engines.
+    _z_cols = ", ".join(
+        f"CAST(sum(1 - 2 * (({minhash_expr_sql('hh', a, b)}) % 2)) AS BIGINT) AS z{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:8])
+    )
+    _z_sumsq = " + ".join(f"z{i} * z{i}" for i in range(8))
+    sql["ams_self_join"] = f"""
+WITH {_TRIPLES_CTE},
+hh_t AS (SELECT p, {H('o')} AS hh FROM t1),
+z AS (SELECT p, {_z_cols} FROM hh_t GROUP BY p),
+est AS (SELECT p, round(CAST(({_z_sumsq}) AS DOUBLE) / 8, 6) AS f2_est FROM z),
+pc AS (SELECT p, o, count(*) AS c FROM t1 GROUP BY p, o),
+ex AS (SELECT p, CAST(sum(c * c) AS BIGINT) AS f2_exact FROM pc GROUP BY p)
+SELECT est.p, est.f2_est, ex.f2_exact FROM est JOIN ex USING (p)
 """
 
     return sql

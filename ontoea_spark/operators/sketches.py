@@ -219,6 +219,62 @@ def kmv_pairwise_jaccard(
     )
 
 
+def ams_f2_sketch(
+    df: DataFrame, key_cols: list[str], value_col: str, d: int = 8
+) -> DataFrame:
+    """AMS sketch of the second frequency moment (Alon-Matias-Szegedy,
+    STOC'96): per key, ``z_i = Σ_rows sign_i(value)`` for d independent
+    ±1 hash functions — each ``z_i²`` is an unbiased estimate of
+    ``F₂ = Σ_v f(v)²``, the SELF-JOIN SIZE of the column. F₂ is the
+    statistic that predicts an equi-join's output blowup (the
+    canonical_two_hop edge self-join costs exactly Σ deg(o)² paths)
+    before running it, and the skew diagnostic (F₂/n² → 1 means one hot
+    key dominates — the salting trigger).
+
+    Purely additive — the sketch of a union is the elementwise sum, so
+    Spark's map-side combine is the merge (monoid, like the CMS) and the
+    state is d longs per key. Returns ``[*key_cols, z: array<long>]``.
+    """
+    if not 1 <= d <= len(MINHASH_PARAMS):
+        raise ValueError(f"d must be in [1, {len(MINHASH_PARAMS)}]")
+    h = _hash_value(value_col)
+    signs = [
+        (F.lit(1) - F.lit(2) * (minhash_expr(h, a, b) % 2)).cast("long")
+        for (a, b) in MINHASH_PARAMS[:d]
+    ]
+    sums = [
+        F.sum(F.col(f"__s{i}")).cast("long").alias(f"__z{i}")
+        for i in range(d)
+    ]
+    return (
+        df.select(
+            *key_cols, *[s.alias(f"__s{i}") for i, s in enumerate(signs)]
+        )
+        .groupBy(*key_cols)
+        .agg(*sums)
+        .select(
+            *key_cols,
+            F.array(*[F.col(f"__z{i}") for i in range(d)]).alias("z"),
+        )
+    )
+
+
+def ams_f2_estimate(sketch: DataFrame) -> DataFrame:
+    """F₂ (self-join size) estimate from an AMS sketch: the mean of the
+    d squared counters (mean, not the textbook median-of-means — one
+    fixed hash family, deterministic, and the cross-engine oracle is a
+    plain avg; the estimator variance is what the tests pin). Returns
+    ``[*keys, f2_est]`` (double, 6dp)."""
+    sq = F.transform("z", lambda v: v * v)
+    est = F.aggregate(
+        sq, F.lit(0).cast("long"), lambda acc, v: acc + v
+    ).cast("double") / F.size("z")
+    return sketch.select(
+        *[c for c in sketch.columns if c != "z"],
+        F.round(est, 6).alias("f2_est"),
+    )
+
+
 def _cms_cols(hcol: Column, d: int, w: int) -> list[Column]:
     if not 1 <= d <= len(MINHASH_PARAMS):
         raise ValueError(f"d must be in [1, {len(MINHASH_PARAMS)}]")

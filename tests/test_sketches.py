@@ -174,3 +174,45 @@ def test_kmv_pre_distinct_same_result_partial_agg_plan(spark):
         if pplan.startswith("Exchange hashpartitioning(", j)
     ]
     assert all("__h" not in pplan[j : j + 80] for j in starts), pplan
+
+
+def test_ams_f2_estimates_self_join_size(spark):
+    # Skewed frequencies: value v appears v+1 times -> F2 = sum (v+1)^2.
+    # AMS relative stderr ~ sqrt(2/d); one fixed hash family makes the
+    # draw deterministic, so the band is a fixed fact.
+    df = (
+        spark.range(20)
+        .select(
+            F.col("id").alias("v"),
+            F.explode(F.sequence(F.lit(0), F.col("id"))).alias("r"),
+        )
+        .select(F.lit("a").alias("g"), "v")
+    )
+    exact = sum((v + 1) ** 2 for v in range(20))
+    est = SK.ams_f2_estimate(
+        SK.ams_f2_sketch(df, ["g"], "v", d=16)
+    ).collect()[0].f2_est
+    assert abs(est / exact - 1.0) < 0.6, (est, exact)
+
+
+def test_ams_sketch_is_additive(spark):
+    # Monoid: sketch(A ∪ B) == elementwise sum of the shard sketches —
+    # the property that makes map-side combine the merge.
+    a = _grouped_ids(spark, {"x": [1, 2, 2, 3], "only_a": [5]})
+    b = _grouped_ids(spark, {"x": [2, 3, 3, 9]})
+    za = {r.g: r.z for r in SK.ams_f2_sketch(a, ["g"], "v", d=8).collect()}
+    zb = {r.g: r.z for r in SK.ams_f2_sketch(b, ["g"], "v", d=8).collect()}
+    zu = {
+        r.g: r.z
+        for r in SK.ams_f2_sketch(a.unionByName(b), ["g"], "v", d=8).collect()
+    }
+    assert zu["x"] == [za["x"][i] + zb["x"][i] for i in range(8)]
+    assert zu["only_a"] == za["only_a"]
+
+
+def test_ams_plan_single_exchange(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    plan = _plan(SK.ams_f2_sketch(df, ["g"], "v", d=8))
+    assert plan.count("Exchange") == 1, plan
