@@ -23,10 +23,16 @@ results and partitioning are reproducible run-to-run.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ontoea_spark.functions.hashing import portable_hash64
+from ontoea_spark.functions.hashing import (
+    MINHASH_PARAMS,
+    minhash_expr,
+    portable_hash64,
+)
 
 
 def salted_join(
@@ -67,6 +73,51 @@ def salted_join(
     dim_r = dim.crossJoin(F.broadcast(salts))
     out = fact_s.join(dim_r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def suggest_n_salts(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int,
+    max_salts: int = 64,
+    d: int = 16,
+) -> int:
+    """Size the salt count from ONE sketch pass instead of guessing.
+
+    A global AMS F₂ aggregate over the join key (operators/sketches.py
+    has the keyed form; here it's a plain ``df.agg`` — partial sign-sums
+    per partition, one d-long final row) upper-bounds the hottest key's
+    row count by ``sqrt(F₂)`` (since ``f_max² ≤ Σ f(v)² = F₂``), then
+    spreads that mass over tasks of target size ``n / n_partitions``::
+
+        n_salts = clamp(ceil(sqrt(F₂_est) / (n / P)), 1, max_salts)
+
+    Uniform data (K distinct keys): sqrt(F₂) = n/√K « n/P whenever
+    K » P², so the suggestion is 1 — no pointless salting. One hub
+    holding α·n rows: sqrt(F₂) ≈ α·n, suggestion ≈ α·P — the hub's rows
+    spread to roughly perfect balance. Mass spread over a few medium
+    keys over-salts (the bound is loose there) — conservative by
+    design; the cost of a few extra salts is a small dim-side
+    replication, the cost of under-salting is a straggler task. One
+    pass, d longs of state, deterministic (fixed ±1 hash family)."""
+    h = portable_hash64(F.col(key_col).cast("string"))
+    signs = [
+        (F.lit(1) - F.lit(2) * (minhash_expr(h, a, b) % 2)).cast("long")
+        for (a, b) in MINHASH_PARAMS[:d]
+    ]
+    row = df.select(
+        *[s.alias(f"__s{i}") for i, s in enumerate(signs)]
+    ).agg(
+        F.count("*").alias("__n"),
+        *[F.sum(f"__s{i}").alias(f"__z{i}") for i in range(d)],
+    ).first()
+    n = row["__n"]
+    if not n:
+        return 1
+    f2 = sum(row[f"__z{i}"] ** 2 for i in range(d)) / d
+    f_max_bound = math.sqrt(max(f2, 0.0))
+    target = max(n / max(n_partitions, 1), 1.0)
+    return int(min(max_salts, max(1, math.ceil(f_max_bound / target))))
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:

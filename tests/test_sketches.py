@@ -216,3 +216,21 @@ def test_ams_plan_single_exchange(spark):
     )
     plan = _plan(SK.ams_f2_sketch(df, ["g"], "v", d=8))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_suggest_n_salts_hub_vs_uniform(spark):
+    # The sketch-driven salting decision: uniform keys (K >> P^2) must
+    # suggest no salting at all; a 50%-mass hub must suggest ~alpha*P.
+    from ontoea_spark.operators.salting import suggest_n_salts
+
+    P = 16
+    uniform = spark.range(40000).select((F.col("id") % 4000).alias("k"))
+    assert suggest_n_salts(uniform, "k", P) == 1
+
+    hub = spark.range(40000).select(
+        F.when(F.col("id") < 20000, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    s = suggest_n_salts(hub, "k", P)  # alpha*P = 8 +- estimator noise
+    assert 4 <= s <= 16, s
