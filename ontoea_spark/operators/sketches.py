@@ -33,9 +33,11 @@ partial aggregation (map-side combine) *is* the sketch merge, and the
 materialized size is bounded at d·w rows no matter the input.
 
 Reference parity note: the reference profiles its KGs with exact
-single-machine dict passes (frequency sort, element counts —
-reference preprocessing); these sketches are the rebuild-only at-scale
-analogue of those passes.
+single-machine dict passes (``sort_elements``, reference
+code/src/openea/modules/load/read.py:14-26 — a Python dict of
+per-element counts); these sketches are the rebuild-only at-scale
+analogue of those passes, for the regime where the dict no longer fits
+one machine.
 
 Scale shape:
 - ``kmv_sketch`` is ONE shuffle: ``dense_rank() <= k`` over a window on
