@@ -4478,12 +4478,15 @@ FROM est JOIN exact USING (o)
         f"CAST(sum(1 - 2 * (({minhash_expr_sql('hh', a, b)}) % 2)) AS BIGINT) AS z{i}"
         for i, (a, b) in enumerate(MINHASH_PARAMS[:8])
     )
-    _z_sumsq = " + ".join(f"z{i} * z{i}" for i in range(8))
+    # squares in DOUBLE, summed left-to-right — the exact fold order of
+    # the Spark side's F.aggregate over the z array (overflow-proof for
+    # hub keys past sqrt(2^63) rows)
+    _z_sumsq = " + ".join(f"CAST(z{i} AS DOUBLE) * z{i}" for i in range(8))
     sql["ams_self_join"] = f"""
 WITH {_TRIPLES_CTE},
 hh_t AS (SELECT p, {H('o')} AS hh FROM t1),
 z AS (SELECT p, {_z_cols} FROM hh_t GROUP BY p),
-est AS (SELECT p, round(CAST(({_z_sumsq}) AS DOUBLE) / 8, 6) AS f2_est FROM z),
+est AS (SELECT p, round(({_z_sumsq}) / 8, 6) AS f2_est FROM z),
 pc AS (SELECT p, o, count(*) AS c FROM t1 GROUP BY p, o),
 ex AS (SELECT p, CAST(sum(c * c) AS BIGINT) AS f2_exact FROM pc GROUP BY p)
 SELECT est.p, est.f2_est, ex.f2_exact FROM est JOIN ex USING (p)

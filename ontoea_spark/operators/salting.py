@@ -28,11 +28,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ontoea_spark.functions.hashing import (
-    MINHASH_PARAMS,
-    minhash_expr,
-    portable_hash64,
-)
+from ontoea_spark.functions.hashing import portable_hash64
 
 
 def salted_join(
@@ -100,12 +96,14 @@ def suggest_n_salts(
     design; the cost of a few extra salts is a small dim-side
     replication, the cost of under-salting is a straggler task. One
     pass, d longs of state, deterministic (fixed ±1 hash family)."""
+    from ontoea_spark.operators.sketches import _sign_cols
+
+    # NULL join keys never match — ignore them (also keeps the sums
+    # non-NULL: an all-NULL key column otherwise sums to NULL)
+    keyed = df.filter(F.col(key_col).isNotNull())
     h = portable_hash64(F.col(key_col).cast("string"))
-    signs = [
-        (F.lit(1) - F.lit(2) * (minhash_expr(h, a, b) % 2)).cast("long")
-        for (a, b) in MINHASH_PARAMS[:d]
-    ]
-    row = df.select(
+    signs = _sign_cols(h, d)  # raises ValueError on d out of range
+    row = keyed.select(
         *[s.alias(f"__s{i}") for i, s in enumerate(signs)]
     ).agg(
         F.count("*").alias("__n"),

@@ -76,8 +76,26 @@ CMS_BROADCAST_MAX_CELLS = 1_000_000
 
 def _hash_value(value_col: str) -> Column:
     """Portable 60-bit hash of any column, via its canonical string form
-    (both engines cast BIGINT/VARCHAR identically)."""
+    (both engines cast BIGINT/VARCHAR identically). NULL values hash to
+    NULL — every sketch below filters them out explicitly: a NULL is not
+    a value, and letting it through breaks the invariants (it consumes a
+    dense_rank slot then vanishes from collect_set, truncating a KMV to
+    k-1; it accumulates CMS mass in a NULL cell no lookup can reach,
+    underestimating — and Spark orders NULLs first while DuckDB orders
+    them last, so cross-engine parity dies too)."""
     return portable_hash64(F.col(value_col).cast("string"))
+
+
+def _sign_cols(hcol: Column, d: int) -> list[Column]:
+    """The ±1 AMS sign family over a pre-hashed value (parity bit of the
+    d MinHash family members) — shared by ams_f2_sketch and the salting
+    suggestion so the two can never drift apart."""
+    if not 1 <= d <= len(MINHASH_PARAMS):
+        raise ValueError(f"d must be in [1, {len(MINHASH_PARAMS)}]")
+    return [
+        (F.lit(1) - F.lit(2) * (minhash_expr(hcol, a, b) % 2)).cast("long")
+        for (a, b) in MINHASH_PARAMS[:d]
+    ]
 
 
 def kmv_sketch(
@@ -105,7 +123,9 @@ def kmv_sketch(
     exchange buys a bounded first one. Same result bit-for-bit (asserted
     in tests); pick by duplication profile.
     """
-    hashed = df.select(*key_cols, _hash_value(value_col).alias("__h"))
+    hashed = df.select(*key_cols, _hash_value(value_col).alias("__h")).filter(
+        F.col("__h").isNotNull()
+    )
     if pre_distinct:
         # compiles to an Aggregate -> partial (map-side) dedup per task
         hashed = hashed.dropDuplicates()
@@ -135,6 +155,7 @@ def kmv_sketch_global(
     w = Window.partitionBy("__b").orderBy("__h")
     ranked = (
         df.select(_hash_value(value_col).alias("__h"))
+        .filter(F.col("__h").isNotNull())
         .withColumn("__b", F.pmod("__h", F.lit(n_buckets)))
         .withColumn("__r", F.dense_rank().over(w))
         .filter(F.col("__r") <= k)
@@ -237,13 +258,7 @@ def ams_f2_sketch(
     Spark's map-side combine is the merge (monoid, like the CMS) and the
     state is d longs per key. Returns ``[*key_cols, z: array<long>]``.
     """
-    if not 1 <= d <= len(MINHASH_PARAMS):
-        raise ValueError(f"d must be in [1, {len(MINHASH_PARAMS)}]")
-    h = _hash_value(value_col)
-    signs = [
-        (F.lit(1) - F.lit(2) * (minhash_expr(h, a, b) % 2)).cast("long")
-        for (a, b) in MINHASH_PARAMS[:d]
-    ]
+    signs = _sign_cols(_hash_value(value_col), d)
     sums = [
         F.sum(F.col(f"__s{i}")).cast("long").alias(f"__z{i}")
         for i in range(d)
@@ -252,6 +267,7 @@ def ams_f2_sketch(
         df.select(
             *key_cols, *[s.alias(f"__s{i}") for i, s in enumerate(signs)]
         )
+        .filter(F.col("__s0").isNotNull())  # NULL values are not values
         .groupBy(*key_cols)
         .agg(*sums)
         .select(
@@ -267,10 +283,14 @@ def ams_f2_estimate(sketch: DataFrame) -> DataFrame:
     fixed hash family, deterministic, and the cross-engine oracle is a
     plain avg; the estimator variance is what the tests pin). Returns
     ``[*keys, f2_est]`` (double, 6dp)."""
-    sq = F.transform("z", lambda v: v * v)
+    # square in DOUBLE: a hub key with f_max > ~3e9 rows puts |z| past
+    # sqrt(2^63) and a long square overflows exactly where the skew
+    # signal matters most; the fixed left-to-right array fold keeps the
+    # float sum order-invariant (and the oracle mirrors the same order)
+    sq = F.transform("z", lambda v: v.cast("double") * v)
     est = F.aggregate(
-        sq, F.lit(0).cast("long"), lambda acc, v: acc + v
-    ).cast("double") / F.size("z")
+        sq, F.lit(0.0), lambda acc, v: acc + v
+    ) / F.size("z")
     return sketch.select(
         *[c for c in sketch.columns if c != "z"],
         F.round(est, 6).alias("f2_est"),
@@ -291,7 +311,7 @@ def cms_sketch(df: DataFrame, value_col: str, d: int = 4, w: int = 1024) -> Data
     with row ∈ [0, d), col ∈ [0, w). One shuffle; ≤ d·w output rows and
     bounded partial-agg state regardless of input size — the additive
     merge IS Spark's map-side combine."""
-    cells = df.select(
+    cells = df.filter(F.col(value_col).isNotNull()).select(
         F.posexplode(F.array(*_cms_cols(_hash_value(value_col), d, w))).alias(
             "row", "col"
         )
@@ -310,7 +330,7 @@ def cms_estimate(
 
     The CMS side is ≤ d·w rows *by construction*, so the broadcast
     decision is static — no runtime count() gate needed."""
-    vcells = values.select(
+    vcells = values.filter(F.col(value_col).isNotNull()).select(
         value_col,
         F.posexplode(
             F.array(*_cms_cols(_hash_value(value_col), d, w))

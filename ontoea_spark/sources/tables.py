@@ -94,8 +94,12 @@ def write_day_partitioned(
     from pyspark.sql import functions as F
 
     (
+        # floor, not int-cast truncation: read_day_range's Python //
+        # floors, and trunc-vs-floor disagree for pre-epoch (negative)
+        # timestamps — a corrupt/sentinel WARC ts would land in a bucket
+        # the read then prunes
         df.withColumn(
-            "day_bucket", (F.col(ts_col) / 86400).cast("int")
+            "day_bucket", F.floor(F.col(ts_col) / 86400).cast("int")
         )
         .write.mode(mode)
         .partitionBy("day_bucket")

@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> None:
     # costs a second mention-level pass over the pages text.
     ap.add_argument("--provenance", action="store_true")
     args = ap.parse_args(argv)
+    if args.provenance and not args.canonicalize:
+        ap.error("--provenance requires --canonicalize (it rewrites "
+                 "mentions through the canonical map)")
 
     from pyspark.sql import SparkSession
 

@@ -234,3 +234,51 @@ def test_suggest_n_salts_hub_vs_uniform(spark):
     )
     s = suggest_n_salts(hub, "k", P)  # alpha*P = 8 +- estimator noise
     assert 4 <= s <= 16, s
+
+
+def test_null_values_are_not_values(spark):
+    # NULLs must not consume KMV rank slots, accumulate CMS mass in
+    # unreachable cells, or null out AMS sums / the salting suggestion —
+    # each sketch of data-with-NULLs equals the sketch of the non-null
+    # rows (review findings: rank-slot truncation broke the estimator
+    # AND cross-engine parity, Spark sorting NULLs first, DuckDB last).
+    from ontoea_spark.operators.salting import suggest_n_salts
+
+    rows = [("a", int(v)) for v in range(40)] + [("a", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v long")
+    clean = df.filter(F.col("v").isNotNull())
+
+    k = 32  # < 40 distinct, so a stolen rank slot would truncate
+    got = SK.kmv_sketch(df, ["g"], "v", k=k).collect()[0].minima
+    want = SK.kmv_sketch(clean, ["g"], "v", k=k).collect()[0].minima
+    assert got == want and len(got) == k
+    assert (
+        SK.kmv_sketch_global(df, "v", k=k).collect()[0].minima == want
+    )
+
+    cms = SK.cms_sketch(df, "v", d=4, w=256)
+    est = {
+        r.v: r.est_count
+        for r in SK.cms_estimate(
+            cms, df.select("v").distinct(), "v", d=4, w=256
+        ).collect()
+    }
+    assert est.pop(None, 0) == 0  # NULL row contributes/receives nothing
+    assert all(c >= 1 for c in est.values()) and len(est) == 40
+
+    za = SK.ams_f2_sketch(df, ["g"], "v", d=8).collect()[0].z
+    zb = SK.ams_f2_sketch(clean, ["g"], "v", d=8).collect()[0].z
+    assert za == zb
+
+    all_null = spark.createDataFrame([("x", None)] * 10, "k string, v long")
+    assert suggest_n_salts(all_null.select(F.col("v").alias("k")), "k", 8) == 1
+
+
+def test_ams_estimate_survives_giant_counters(spark):
+    # A hub past sqrt(2^63) rows makes |z| ~ 3e9; the squares must go
+    # through DOUBLE, not wrap/throw in long arithmetic.
+    big = 4_000_000_000
+    z = [big, -big, big, -big, big, -big, big, -big]
+    sk = spark.createDataFrame([("h", z)], "g string, z array<long>")
+    est = SK.ams_f2_estimate(sk).collect()[0].f2_est
+    assert est == float(big) ** 2, est

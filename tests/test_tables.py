@@ -114,3 +114,18 @@ def test_day_partition_pruning(spark, tmp_path):
     rows = got.collect()
     assert len(rows) == 48  # 2 days x 24 hourly rows
     assert all(start <= r.first_ts <= end for r in rows)
+
+
+def test_day_partition_negative_timestamps_floor(spark, tmp_path):
+    """Pre-epoch (negative) timestamps: the write-side bucket must FLOOR
+    like the read side's // — trunc-toward-zero would file ts=-3600
+    under bucket 0 and the day-range read would prune it away."""
+    from ontoea_spark.sources.tables import read_day_range, write_day_partitioned
+
+    df = spark.createDataFrame(
+        [(1, -3600), (2, 3600)], "doc_id long, first_ts long"
+    )
+    out = str(tmp_path / "prov_neg")
+    write_day_partitioned(df, out, ts_col="first_ts")
+    got = read_day_range(spark, out, -86400, -1, ts_col="first_ts").collect()
+    assert [r.doc_id for r in got] == [1]
