@@ -263,15 +263,15 @@ def q_dict_encode_triples(spark, sf_dir):
     both = t1.withColumn("kgn", F.lit(1)).unionByName(
         t2.withColumn("kgn", F.lit(2))
     )
-    ent, rel = DICT.two_kg_dictionaries(both, F.col("kgn"))
-    e1, e2 = ent.filter("kg = 1"), ent.filter("kg = 2")
-    r1, r2 = rel.filter("kg = 1"), rel.filter("kg = 2")
-    return (
-        DICT.encode_triples(t1, e1, r1)
-        .withColumn("kg", F.lit(1).cast("long"))
-        .unionByName(
-            DICT.encode_triples(t2, e2, r2).withColumn("kg", F.lit(2).cast("long"))
-        )
+    ent, rel, n_ent, n_rel = DICT.two_kg_dictionaries(
+        both, F.col("kgn"), with_sizes=True
+    )
+    return DICT.encode_triples_two_kg(
+        both,
+        ent,
+        rel,
+        ent_small=n_ent <= DICT.BROADCAST_ROW_THRESHOLD,
+        rel_small=n_rel <= DICT.BROADCAST_ROW_THRESHOLD,
     )
 
 

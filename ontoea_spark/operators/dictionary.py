@@ -321,7 +321,8 @@ def two_kg_dictionaries(
     all_triples: DataFrame,
     kg_expr,
     range_partitions: int = 32,
-) -> tuple[DataFrame, DataFrame]:
+    with_sizes: bool = False,
+) -> tuple:
     """:func:`combined_dictionary_frame`, materialized once and split.
 
     The localCheckpoint truncates lineage so downstream every
@@ -331,15 +332,24 @@ def two_kg_dictionaries(
     exactly the thing you want materialized.
 
     Returns (ent_ids, rel_ids), each DataFrame[kg, elem, freq, rank, id].
+    With ``with_sizes=True`` additionally returns (n_ent, n_rel) row
+    counts, computed in ONE aggregate job over the materialized frame —
+    callers feed them to the encode joins' broadcast gates instead of
+    paying one count job per dictionary side per encode call.
     """
     out = combined_dictionary_frame(
         all_triples, kg_expr, range_partitions
     ).localCheckpoint(eager=True)
     cols = ["kg", "elem", "freq", "rank", "id"]
-    return (
-        out.filter("grp = 'ent'").select(*cols),
-        out.filter("grp = 'rel'").select(*cols),
-    )
+    ent = out.filter("grp = 'ent'").select(*cols)
+    rel = out.filter("grp = 'rel'").select(*cols)
+    if with_sizes:
+        sizes = {
+            r["grp"]: r["n"]
+            for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+        }
+        return ent, rel, sizes.get("ent", 0), sizes.get("rel", 0)
+    return ent, rel
 
 
 def encode_triples(
@@ -347,6 +357,8 @@ def encode_triples(
     ent_ids: DataFrame,
     rel_ids: DataFrame,
     broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
+    ent_small: bool | None = None,
+    rel_small: bool | None = None,
 ) -> DataFrame:
     """D5: (s,p,o) -> (s_id, p_id, o_id) via three dictionary joins.
     Inner-join semantics: rows whose element is missing from the
@@ -359,14 +371,21 @@ def encode_triples(
     materialized, so the count here is a cheap scan of materialized
     rows, and past the threshold the joins degrade to AQE-planned
     shuffled joins instead of an OOM-guaranteed forced broadcast
-    (same gate as ``pipeline/incremental.py``'s delta merge).
+    (same gate as ``pipeline/incremental.py``'s delta merge). Callers
+    that already measured the dictionaries (``two_kg_dictionaries
+    with_sizes=True``) pass ``ent_small``/``rel_small`` to skip the
+    count jobs.
 
     Returns DataFrame[s_id, p_id, o_id] (bigint).
     """
     e = ent_ids.select("elem", "id")
     r = rel_ids.select("elem", "id")
-    e_small = e.count() <= broadcast_threshold
-    r_small = r.count() <= broadcast_threshold
+    if ent_small is None:
+        ent_small = e.count() <= broadcast_threshold
+    if rel_small is None:
+        rel_small = r.count() <= broadcast_threshold
+    e_small = ent_small
+    r_small = rel_small
     return (
         triples.join(
             _gated_broadcast(
@@ -391,6 +410,121 @@ def encode_triples(
         )
         .select("s_id", "p_id", "o_id")
     )
+
+
+def encode_triples_two_kg(
+    triples: DataFrame,
+    ent_ids: DataFrame,
+    rel_ids: DataFrame,
+    kg_col: str = "kgn",
+    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD,
+    ent_small: bool | None = None,
+    rel_small: bool | None = None,
+) -> DataFrame:
+    """D5 for BOTH KGs in one pass: triples tagged with their KG number
+    (``kg_col``, valued 1|2) join the full two-KG dictionaries with the
+    kg tag in the join key — three gated-broadcast joins total instead
+    of six (two per-KG :func:`encode_triples` calls re-scan the triple
+    stream and build every dictionary broadcast twice). Row-identical to
+    the per-KG union: joining on (kg, elem) restricted to a triple's own
+    kg is exactly the per-KG dictionary join.
+
+    Returns DataFrame[s_id, p_id, o_id, kg] (bigint).
+    """
+    e = ent_ids.select("kg", "elem", "id")
+    r = rel_ids.select("kg", "elem", "id")
+    if ent_small is None:
+        ent_small = e.count() <= broadcast_threshold
+    if rel_small is None:
+        rel_small = r.count() <= broadcast_threshold
+    t = triples.select(F.col(kg_col).cast("long").alias("kg"), "s", "p", "o")
+    return (
+        t.join(
+            _gated_broadcast(
+                e.withColumnRenamed("elem", "s").withColumnRenamed("id", "s_id"),
+                ent_small,
+            ),
+            ["kg", "s"],
+        )
+        .join(
+            _gated_broadcast(
+                r.withColumnRenamed("elem", "p").withColumnRenamed("id", "p_id"),
+                rel_small,
+            ),
+            ["kg", "p"],
+        )
+        .join(
+            _gated_broadcast(
+                e.withColumnRenamed("elem", "o").withColumnRenamed("id", "o_id"),
+                ent_small,
+            ),
+            ["kg", "o"],
+        )
+        .select("s_id", "p_id", "o_id", "kg")
+    )
+
+
+def single_kg_dictionaries(
+    triples: DataFrame,
+    range_partitions: int = 32,
+    with_sizes: bool = False,
+) -> tuple:
+    """D3 for BOTH the entity (roles s/o) and relation (role p)
+    dictionaries of ONE triple set in a single pass — one groupBy count
+    + one range shuffle + one grouped two-phase rank, instead of two
+    full :func:`single_kg_ids` scans of the triple stream. Values are
+    identical per group (same (freq desc, elem desc) rank; id == rank).
+
+    Returns (ent_ids, rel_ids), each DataFrame[elem, freq, id],
+    localCheckpoint-materialized; ``with_sizes=True`` adds (n_ent,
+    n_rel) from one aggregate job for downstream broadcast gates.
+    """
+    occs = (
+        triples.select(F.col("s").alias("elem"))
+        .unionAll(triples.select(F.col("o").alias("elem")))
+        .withColumn("grp", F.lit("ent"))
+        .unionByName(
+            triples.select(F.col("p").alias("elem")).withColumn(
+                "grp", F.lit("rel")
+            )
+        )
+    )
+    freqs = occs.groupBy("grp", "elem").agg(F.count("*").alias("freq"))
+    part = freqs.repartitionByRange(
+        range_partitions, F.col("grp"), F.desc("freq"), F.desc("elem")
+    ).withColumn("pid", F.spark_partition_id())
+    part = part.cache()
+    wl = Window.partitionBy("grp", "pid").orderBy(F.desc("freq"), F.desc("elem"))
+    local = part.withColumn("lrank", F.row_number().over(wl))
+    counts = part.groupBy("grp", "pid").agg(F.count("*").alias("cnt"))
+    woff = (
+        Window.partitionBy("grp")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(woff), F.lit(0))
+    ).select("grp", "pid", "off")
+    out = (
+        local.join(F.broadcast(offsets), ["grp", "pid"])
+        .select(
+            "grp",
+            "elem",
+            "freq",
+            (F.col("off") + F.col("lrank") - 1).cast("long").alias("id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    part.unpersist()
+    ent = out.filter("grp = 'ent'").select("elem", "freq", "id")
+    rel = out.filter("grp = 'rel'").select("elem", "freq", "id")
+    if with_sizes:
+        sizes = {
+            r["grp"]: r["n"]
+            for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+        }
+        return ent, rel, sizes.get("ent", 0), sizes.get("rel", 0)
+    return ent, rel
 
 
 def encode_pairs(

@@ -127,9 +127,22 @@ def links_triples_fixpoint(
     a side under its thresholds. In-loop plans stay lazily fused
     (nothing is checkpointed or pinned; bounded max_iter keeps lineage
     shallow)."""
-    s1 = _gate_small(parse_entities(triples1), broadcast_threshold)
-    s2 = _gate_small(parse_entities(triples2), broadcast_threshold)
-    sl = _gate_small(links, broadcast_threshold)  # bounds |l1| and |l2|
+    if broadcast_threshold is None:
+        from ontoea_spark.operators.dictionary import BROADCAST_ROW_THRESHOLD
+
+        broadcast_threshold = BROADCAST_ROW_THRESHOLD
+    # all three gate counts in ONE job: tag each set, count per tag
+    # (three separate count() actions each pay a full job round-trip;
+    # the union scans the same inputs once and returns 3 rows)
+    tagged = (
+        parse_entities(triples1).select(F.lit("e1").alias("t"))
+        .unionAll(parse_entities(triples2).select(F.lit("e2").alias("t")))
+        .unionAll(links.select(F.lit("lk").alias("t")))
+    )
+    cnts = {r["t"]: r["n"] for r in tagged.groupBy("t").agg(F.count("*").alias("n")).collect()}
+    s1 = cnts.get("e1", 0) <= broadcast_threshold
+    s2 = cnts.get("e2", 0) <= broadcast_threshold
+    sl = cnts.get("lk", 0) <= broadcast_threshold  # bounds |l1| and |l2|
     for _ in range(max_iter):
         links = remove_no_triples_link(
             links, triples1, triples2, small1=s1, small2=s2

@@ -80,7 +80,12 @@ def pagerank(
                     + damping * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the plan is truncated per round (no
+            # exponential lineage) but nothing materializes until the
+            # caller's single action — a fixed-iteration loop needs no
+            # per-round driver sync, so the eager variant's one blocking
+            # job per iteration was pure scheduling overhead
+            .localCheckpoint(eager=False)
         )
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
@@ -119,39 +124,54 @@ def connected_components(
         F.col(id_col).alias("id"),
         F.col(id_col).alias("comp"),
     ).localCheckpoint(eager=True)
+    comp_type = labels.schema["comp"].dataType
     converged = False
     for _ in range(max_iter):
-        nb_min = (
+        # neighbor-min folded into ONE union+groupBy (instead of
+        # join+groupBy followed by a second join back to the labels):
+        # self rows carry the previous comp both as a min candidate and
+        # as `old` (exactly one self row per id), so the round's changed
+        # flag falls out without a separate labels join.
+        contribs = (
             sym.join(labels, sym["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("nb_comp"))
+            .select(
+                F.col("a").alias("id"),
+                F.col("comp").alias("cand"),
+                F.lit(None).cast(comp_type).alias("old"),
+            )
+            .unionAll(
+                labels.select(
+                    "id", F.col("comp").alias("cand"), F.col("comp").alias("old")
+                )
+            )
         )
-        stepped = labels.join(
-            nb_min, labels["id"] == nb_min["a"], "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
-            ).alias("comp"),
+        stepped = contribs.groupBy("id").agg(
+            F.min("cand").alias("m"), F.max("old").alias("old")
         )
         # pointer jumping: comp <- label(comp) — halves remaining path
-        # lengths, turning O(diameter) convergence into O(log diameter)
-        ptr = stepped.select(
+        # lengths, turning O(diameter) convergence into O(log diameter).
+        # The jump reads the PREVIOUS round's (already materialized)
+        # labels instead of self-joining the in-flight step: prev labels
+        # satisfy label(x) <= x in the same component, so compressing
+        # through them is equally valid and avoids recomputing the
+        # neighbor-min subtree twice per round.
+        ptr = labels.select(
             F.col("id").alias("pid"), F.col("comp").alias("pcomp")
         )
         jumped = stepped.join(
-            ptr, stepped["comp"] == ptr["pid"], "left"
+            ptr, stepped["m"] == ptr["pid"], "left"
         ).select(
-            "id", F.coalesce(F.col("pcomp"), F.col("comp")).alias("comp")
+            "id",
+            F.coalesce(F.col("pcomp"), F.col("m")).alias("comp"),
+            (F.coalesce(F.col("pcomp"), F.col("m")) != F.col("old")).alias(
+                "changed"
+            ),
         )
         new_labels = jumped.localCheckpoint(eager=True)
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        # the convergence probe is a scan of the just-materialized round
+        # output — no join, no shuffle
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.select("id", "comp")
         if n_changed == 0:
             converged = True
             break

@@ -48,7 +48,7 @@ from ontoea_spark.operators.dictionary import (
     _gated_broadcast,
     anti_join_keep_small,
     encode_triples,
-    single_kg_ids,
+    single_kg_dictionaries,
 )
 from ontoea_spark.operators.graph import connected_components
 
@@ -414,9 +414,21 @@ def canonicalize_kg(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    ent_ids = single_kg_ids(canon).localCheckpoint(eager=True)
-    rel_ids = single_kg_ids(canon, roles=("p",)).localCheckpoint(eager=True)
-    edges = encode_triples(canon, ent_ids, rel_ids, broadcast_threshold)
+    # both unified dictionaries in ONE grouped-rank pass over the
+    # canonical triples (one freq shuffle + one range shuffle instead of
+    # two full single_kg_ids scans), sizes from one aggregate job feeding
+    # the encode joins' broadcast gates (no per-side count jobs)
+    ent_ids, rel_ids, n_ent, n_rel = single_kg_dictionaries(
+        canon, with_sizes=True
+    )
+    edges = encode_triples(
+        canon,
+        ent_ids,
+        rel_ids,
+        broadcast_threshold,
+        ent_small=n_ent <= broadcast_threshold,
+        rel_small=n_rel <= broadcast_threshold,
+    )
     pre_entities = (
         all_t.select(F.col("s").alias("entity"))
         .unionAll(all_t.select(F.col("o").alias("entity")))

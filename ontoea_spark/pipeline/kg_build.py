@@ -20,7 +20,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ontoea_spark.operators.dictionary import encode_triples, two_kg_dictionaries
+from ontoea_spark.operators.dictionary import (
+    BROADCAST_ROW_THRESHOLD,
+    encode_triples_two_kg,
+    two_kg_dictionaries,
+)
 from ontoea_spark.pipeline.extract import extract_pages_text, extract_triples
 
 
@@ -72,23 +76,21 @@ def build_kg(pages: DataFrame) -> KGBuildResult:
     triples1 = all_triples.filter(F.col("s").startswith("kg1:"))
     triples2 = all_triples.filter(F.col("s").startswith("kg2:"))
     # both dictionaries for both KGs in ONE pass over the triple stream
-    # (one freq shuffle + one range shuffle instead of four of each)
-    ent_ids, rel_ids = two_kg_dictionaries(
-        all_triples,
-        F.when(F.col("s").startswith("kg1:"), F.lit(1)).otherwise(F.lit(2)),
+    # (one freq shuffle + one range shuffle instead of four of each);
+    # with_sizes feeds the encode joins' broadcast gates from one
+    # aggregate job instead of one count job per dictionary per call
+    kg_expr = F.when(F.col("s").startswith("kg1:"), F.lit(1)).otherwise(F.lit(2))
+    ent_ids, rel_ids, n_ent, n_rel = two_kg_dictionaries(
+        all_triples, kg_expr, with_sizes=True
     )
-    e1 = ent_ids.filter(F.col("kg") == 1)
-    e2 = ent_ids.filter(F.col("kg") == 2)
-    r1 = rel_ids.filter(F.col("kg") == 1)
-    r2 = rel_ids.filter(F.col("kg") == 2)
-    edges = (
-        encode_triples(triples1, e1, r1)
-        .withColumn("kg", F.lit(1).cast("long"))
-        .unionByName(
-            encode_triples(triples2, e2, r2).withColumn(
-                "kg", F.lit(2).cast("long")
-            )
-        )
+    # one-pass encode of BOTH KGs: three gated-broadcast joins total
+    # (the per-KG encode pair costs six and scans the triples twice)
+    edges = encode_triples_two_kg(
+        all_triples.withColumn("kgn", kg_expr),
+        ent_ids,
+        rel_ids,
+        ent_small=n_ent <= BROADCAST_ROW_THRESHOLD,
+        rel_small=n_rel <= BROADCAST_ROW_THRESHOLD,
     )
     vertices = ent_ids.select(
         F.col("id"), F.col("elem").alias("uri"), F.col("kg"), F.col("freq")
