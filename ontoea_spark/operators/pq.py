@@ -122,7 +122,11 @@ def pq_train_codebooks(
         for cid, r in enumerate(seed_rows)
     }
 
-    sv = subvectors(emb, m, dim, id_col, vec_col).localCheckpoint(eager=True)
+    # no checkpoint of the subvector view: materializing it would pin an
+    # O(corpus) intermediate; Lloyd's standard shape re-scans the input
+    # per iteration (2 scans here), which is strictly cheaper than one
+    # full materialization + 2 reads
+    sv = subvectors(emb, m, dim, id_col, vec_col)
     m_expr = F.avg("val") if round_to is None else F.round(F.avg("val"), round_to)
     for _ in range(n_iter):
         cdf = spark.createDataFrame(
@@ -135,7 +139,11 @@ def pq_train_codebooks(
         assigned = scored.groupBy("id", "j").agg(
             F.min(F.struct("d2", "cid", "sv")).alias("b")
         )
-        means = (
+        # ONE per-dimension mean aggregate, assembled into centroid
+        # vectors driver-side (m*k*sub rows — centroid-matrix sized):
+        # the second groupBy+collect_list shuffle the old chain paid
+        # bought nothing the driver can't do with a dict.
+        means_rows = (
             assigned.select(
                 "j",
                 F.col("b.cid").alias("cid"),
@@ -143,17 +151,14 @@ def pq_train_codebooks(
             )
             .groupBy("j", "cid", "pos")
             .agg(m_expr.alias("m"))
-            .groupBy("j", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.m,
-                ).alias("cvec")
-            )
+            .collect()
         )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means_rows:
+            acc.setdefault((r.j, r.cid), {})[r.pos] = r.m
         # empty (j, cid) clusters keep their previous centroid
-        for r in means.collect():
-            cents[(r.j, r.cid)] = list(r.cvec)
+        for key, d in acc.items():
+            cents[key] = [d[i] for i in range(sub)]
     return spark.createDataFrame(
         [(j, cid, v) for (j, cid), v in sorted(cents.items())],
         "j int, cid long, cvec array<double>",
@@ -244,11 +249,24 @@ def ivfpq_topk_join(
     subspace order (a static left-to-right ``element_at`` expression,
     not an unordered SUM), and the total is rounded to ``round_to`` —
     bit-reproducible in any engine (the oracle's CASE-pivot sum adds
-    the same 9dp values in the same j order)."""
+    the same 9dp values in the same j order).
+
+    Plan shape: centroids and codebooks are collected once (both are
+    driver-resident by contract — every scoring strategy broadcasts
+    them) and baked into STATIC projections as array literals: cell
+    assignment, code assignment and the query LUT are per-row
+    expressions, not join+groupBy chains. The whole search is then two
+    equi-join exchanges on ``cell``/key plus the final top-k window —
+    the r5 shape paid ~8 exchanges (two window cell-assignments, a
+    two-stage encode, an explode+join+groupBy LUT, and a three-way
+    candidate join). Distance arithmetic, rounding and tie-breaks are
+    unchanged (same zip_with/aggregate fold in the same element order).
+    """
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
     lv = left.select(
         F.col(left_id).cast("long").alias("id"),
         F.col(left_vec).cast("array<double>").alias("vec"),
@@ -257,92 +275,120 @@ def ivfpq_topk_join(
         F.col(right_id).cast("long").alias("id"),
         F.col(right_vec).cast("array<double>").alias("vec"),
     )
-    cents = F.broadcast(centroids)
+    cent_rows = sorted(
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in centroids.select("cid", "cvec").collect()
+    )
+    book_rows = sorted(
+        (int(r["j"]), int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in codebooks.select("j", "cid", "cvec").collect()
+    )
+    k_codes = len({cid for _, cid, _ in book_rows})
+    books_by_j: dict[int, list[tuple[int, list[float]]]] = {}
+    for j, cid, cv in book_rows:
+        books_by_j.setdefault(j, []).append((cid, cv))
+    if sorted(books_by_j) != list(range(m)) or any(
+        [cid for cid, _ in books_by_j[j]] != list(range(k_codes))
+        for j in range(m)
+    ):
+        raise ValueError("codebooks must cover j in [0,m) x cid in [0,k)")
 
-    def cell_of(df: DataFrame, n_cells: int = 1) -> DataFrame:
-        scored = df.crossJoin(cents).withColumn(
-            "cd2", F.round(_d2("vec", "cvec"), 9)
-        )
-        w = Window.partitionBy("id").orderBy(
-            F.col("cd2").asc(), F.col("cid").asc()
-        )
+    # Every static expression below is built as ONE generated-SQL string
+    # and parsed with a single F.expr call: composing them node-by-node
+    # through py4j costs ~5 ms per literal/struct round-trip (the r5
+    # isin lesson) — measured ~6 s of pure driver time for this operator
+    # — while parsing the equivalent SQL text is milliseconds.
+    def _d(v: float) -> str:
+        """Exact round-trip SQL double literal."""
+        return repr(float(v)) + "D"
+
+    def d2_sql(vec_sql: str, const: list[float], nd: int) -> str:
+        """round(d2, nd) as a zip_with/aggregate fold against an array
+        literal — bit-identical (same element order, same 0.0 init) to
+        the join-based _d2."""
+        arr = "array(" + ",".join(_d(c) for c in const) + ")"
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n_cells)
-            .select("id", F.col("cid").alias("cell"))
+            f"round(aggregate(zip_with({vec_sql},{arr},(x,y)->(x-y)*(x-y)),"
+            f"0.0D,(acc,x)->acc+x),{nd})"
         )
 
-    lcell = cell_of(lv, n_cells=nprobe)
-    rcell = cell_of(rv)
+    def sv_sql(vec_name: str, j: int) -> str:
+        return f"slice({vec_name},{j * sub + 1},{sub})"
+
+    def cells_sql(vec_name: str) -> str:
+        """Top-``nprobe`` centroid cells by (round(d2,9), cid asc) —
+        array_sort over structs is the same lexicographic order the r5
+        window used."""
+        cands = "array(" + ",".join(
+            f"struct({d2_sql(vec_name, cv, 9)} AS cd2,{cid}L AS cid)"
+            for cid, cv in cent_rows
+        ) + ")"
+        return f"transform(slice(array_sort({cands}),1,{nprobe}),s->s.cid)"
+
+    def codes_sql(vec_name: str) -> str:
+        """m codes, each the argmin codebook entry by (round(d2,12),
+        cid asc) — array_min over structs is the r5 min(struct) order."""
+        outs = []
+        for j in range(m):
+            cands = "array(" + ",".join(
+                f"struct({d2_sql(sv_sql(vec_name, j), cv, 12)} AS d2,"
+                f"{cid}L AS cid)"
+                for cid, cv in books_by_j[j]
+            ) + ")"
+            outs.append(f"CAST(array_min({cands}).cid AS INT)")
+        return "array(" + ",".join(outs) + ")"
+
+    def lut_sql(vec_name: str) -> str:
+        """m*k 9dp lookup entries in (j, cid) position order."""
+        return "array(" + ",".join(
+            d2_sql(sv_sql(vec_name, j), cv, 9)
+            for j in range(m)
+            for _, cv in books_by_j[j]
+        ) + ")"
+
+    cmap_sql = "map(" + ",".join(
+        f"{cid}L,array(" + ",".join(_d(x) for x in cv) + ")"
+        for cid, cv in cent_rows
+    ) + ")"
+    res_sql = f"zip_with(vec,element_at({cmap_sql},cell),(a,b)->a-b)"
 
     if residual:
-        rv = residualize(rv, rcell, centroids)
-        # query residual is PER PROBED CELL: (id, cell) keyed vectors
-        lvc = (
-            lv.join(lcell, "id")
-            .join(cents, F.col("cell") == F.col("cid"))
-            .select(
-                "id",
-                "cell",
-                F.zip_with("vec", "cvec", lambda a, b: a - b).alias("vec"),
+        # corpus codes quantize v - centroid[cell]; the query LUT is
+        # built PER PROBED CELL from the query's residual w.r.t. that
+        # cell (FAISS IVFADC semantics) — the centroid lookup is a map
+        # literal, so residualization is still a projection
+        rq = rv.select(
+            F.col("id").alias("rid"),
+            F.expr(f"element_at({cells_sql('vec')},1)").alias("cell"),
+            "vec",
+        ).select(
+            "rid",
+            "cell",
+            F.expr(res_sql).alias("rvec"),
+        ).select("rid", "cell", F.expr(codes_sql("rvec")).alias("codes"))
+        lq = (
+            lv.select(
+                F.col("id").alias("lid"),
+                "vec",
+                F.explode(F.expr(cells_sql("vec"))).alias("cell"),
             )
+            .select("lid", "cell", F.expr(res_sql).alias("rvec"))
+            .select("lid", "cell", F.expr(lut_sql("rvec")).alias("lut"))
         )
     else:
-        lvc = lv.join(lcell, "id").select("id", "cell", "vec")
-
-    # corpus → ONE array of m codes per rid; queries → ONE positional
-    # lut array of m*k 9dp entries per (lid, probed cell) — the ADC
-    # asymmetric split, one linear-size shuffle each, built once (in
-    # raw mode the per-cell LUTs are identical copies, nprobe of them)
-    k_codes = codebooks.groupBy().agg(F.countDistinct("cid")).first()[0]
-    codes = (
-        pq_encode(rv, codebooks, m, dim)
-        .groupBy("id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("j", "code"))).alias("s")
-        )
-        .select(
+        rq = rv.select(
             F.col("id").alias("rid"),
-            F.transform("s", lambda e: e["code"]).alias("codes"),
+            F.expr(f"element_at({cells_sql('vec')},1)").alias("cell"),
+            F.expr(codes_sql("vec")).alias("codes"),
         )
-    )
-    sv = lvc.select(
-        F.col("id").cast("long").alias("id"),
-        "cell",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("int").alias("j"),
-                        F.slice(
-                            F.col("vec"), j * (dim // m) + 1, dim // m
-                        ).alias("sv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("p"),
-    ).select("id", "cell", F.col("p.j").alias("j"), F.col("p.sv").alias("sv"))
-    lut = (
-        sv.join(F.broadcast(codebooks), "j")
-        .select(
+        # raw-mode LUT is cell-independent: computed once per query row,
+        # before the probe explode
+        lq = lv.select(
             F.col("id").alias("lid"),
-            "cell",
-            (F.col("j") * k_codes + F.col("cid")).cast("int").alias("pos"),
-            F.round(_d2("sv", "cvec"), 9).alias("ld2"),
+            F.expr(lut_sql("vec")).alias("lut"),
+            F.explode(F.expr(cells_sql("vec"))).alias("cell"),
         )
-        .groupBy("lid", "cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "ld2"))).alias("s"))
-        .select(
-            "lid", "cell", F.transform("s", lambda e: e["ld2"]).alias("lut")
-        )
-    )
 
-    cand = (
-        lcell.select(F.col("id").alias("lid"), "cell")
-        .join(rcell.select(F.col("id").alias("rid"), "cell"), "cell")
-        .select("lid", "rid", "cell")
-    )
     # fixed-subspace-order sum as a static projection: lut is 1-indexed,
     # entry for (j, code) sits at j*k + code + 1 — no per-pair shuffle
     adc = reduce(
@@ -354,10 +400,8 @@ def ivfpq_topk_join(
             for j in range(m)
         ],
     )
-    scored = (
-        cand.join(codes, "rid")
-        .join(lut, ["lid", "cell"])
-        .select("lid", "rid", F.round(adc, round_to).alias("adc_d2"))
+    scored = lq.join(rq, "cell").select(
+        "lid", "rid", F.round(adc, round_to).alias("adc_d2")
     )
     w = Window.partitionBy("lid").orderBy(F.col("adc_d2").asc(), F.col("rid").asc())
     return (
