@@ -83,12 +83,22 @@ def reset_memo(prefix: str | None = None) -> None:
         del _MEMO[k]
 
 
-def _triples(spark: SparkSession, sf_dir: str, kg: str) -> DataFrame:
+def _triples_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH KGs' distinct namespaced triples from ONE corpus pass (one
+    scan + UDF + distinct shuffle + checkpoint job; the per-KG builds
+    each paid their own). The kg1/kg2 views are lazy prefix filters over
+    the materialized frame — identical rows to per-KG extraction, since
+    the namespace prefix partitions the triple set."""
+
     def build():
-        tagged = _tagged_docs(spark, sf_dir).filter(F.col("kg") == kg)
+        tagged = _tagged_docs(spark, sf_dir)
         return EX.extract_triples(tagged.select("kg", "text"), namespace_col="kg")
 
-    return _memo(spark, sf_dir, f"triples_{kg}", build)
+    return _memo(spark, sf_dir, "triples_both", build)
+
+
+def _triples(spark: SparkSession, sf_dir: str, kg: str) -> DataFrame:
+    return _triples_both(spark, sf_dir).filter(F.col("s").startswith(f"{kg}:"))
 
 
 def _cv_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,9 +241,7 @@ def _epoch(col) -> F.Column:
 
 def q_extract_triples(spark, sf_dir):
     """S1/S2 + extraction stage: distinct namespaced (s,p,o) of both KGs."""
-    return _triples(spark, sf_dir, "kg1").unionByName(
-        _triples(spark, sf_dir, "kg2")
-    )
+    return _triples_both(spark, sf_dir)
 
 
 def q_parse_entities(spark, sf_dir):

@@ -326,6 +326,27 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _minhash_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Wide MinHash frame DataFrame[id, m0..m{k-1}]: all k minima as
+    aggregate columns in ONE groupBy(id) pass over the shingle stream
+    (no pre-aggregation explode: exploding x k before the shuffle
+    materializes k·|shingles| struct rows for the hash aggregate to
+    chew through)."""
+    sh = doc_shingles(docs, id_col, text_col, n).withColumn(
+        "h", portable_hash64(F.col("shingle"))
+    )
+    aggs = [
+        F.min(minhash_expr(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -335,21 +356,11 @@ def minhash_signatures(
     """MinHash signatures: DataFrame[id, hf (0..k-1), minhash].
 
     shingle -> portable 60-bit hash -> k universal-hash values -> min per
-    (doc, hash-fn). All k minima are computed as k aggregate columns in
-    ONE groupBy(id) pass over the shingle stream (no pre-aggregation
-    explode: exploding x k before the shuffle materializes k·|shingles|
-    struct rows for the hash aggregate to chew through); the (id, hf,
+    (doc, hash-fn), computed via :func:`_minhash_wide`; the (id, hf,
     minhash) long shape is restored by exploding the k aggregated
     columns AFTER — k·|docs| rows, not k·|shingles|.
     """
-    sh = doc_shingles(docs, id_col, text_col, n).withColumn(
-        "h", portable_hash64(F.col("shingle"))
-    )
-    aggs = [
-        F.min(minhash_expr(F.col("h"), a, b)).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    ]
-    per_doc = sh.groupBy("id").agg(*aggs)
+    per_doc = _minhash_wide(docs, id_col, text_col, n)
     per_fn = [
         F.struct(
             F.lit(i).cast("long").alias("hf"),
@@ -374,21 +385,37 @@ def minhash_lsh_pairs(
 
     Band key = ordered concat of the band's minhash values; docs joining
     only within identical (band, key) buckets — the |docs|²-free path.
+    Band keys are built straight from the wide per-doc minima columns
+    (concat in hf order — identical strings to the old explode +
+    groupBy(id, band) collect_list re-aggregation, minus that second
+    shuffle of the signature stream).
     """
-    sigs = minhash_signatures(docs, id_col, text_col, n)
+    per_doc = _minhash_wide(docs, id_col, text_col, n)
     k = len(MINHASH_PARAMS)
     rows_per_band = k // bands
-    banded = (
-        sigs.withColumn("band", F.expr(f"hf DIV {rows_per_band}"))
-        .groupBy("id", "band")
-        .agg(
-            F.concat_ws(
-                ",", F.transform(F.array_sort(
-                    F.collect_list(F.struct("hf", "minhash"))
-                ), lambda s: s.minhash.cast("string"))
-            ).alias("band_key")
-        )
-    )
+    banded = per_doc.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).cast("long").alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{i}").cast("string")
+                                for i in range(
+                                    band * rows_per_band,
+                                    (band + 1) * rows_per_band,
+                                )
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select("id", "x.band", "x.band_key")
     a = banded.select(F.col("id").alias("id1"), "band", "band_key")
     b = banded.select(F.col("id").alias("id2"), "band", "band_key")
     return (

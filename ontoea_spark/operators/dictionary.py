@@ -61,11 +61,12 @@ def anti_join_keep_small(
     implementation of the pattern used by incremental dedup, dictionary
     extension, negative sampling, and incremental canonicalization.
 
-    ``small`` is eagerly materialized here (the gate needs its count and
-    both joins reuse it); returns rows of ``small`` (all its columns)
+    ``small`` is materialized here (the gate needs its count and both
+    joins reuse it — lazy checkpoint, so the count job is also the
+    materialization); returns rows of ``small`` (all its columns)
     whose ``key`` is absent from ``big``.
     """
-    small = small.localCheckpoint(eager=True)
+    small = small.localCheckpoint(eager=False)
     if small.count() <= broadcast_threshold:
         matched = big.select(*key).join(
             F.broadcast(small.select(*key)), key, "left_semi"
@@ -192,7 +193,7 @@ def sharing_ids(
     count — broadcasting the full interleaved dictionary would OOM at
     crawl scale.
     """
-    links_m = train_links.localCheckpoint(eager=True)
+    links_m = train_links.localCheckpoint(eager=False)
     lsmall = links_m.count() <= broadcast_threshold
     r1 = ranked_elements(triples1, roles)
     f2 = element_frequencies(triples2, roles)
@@ -337,9 +338,12 @@ def two_kg_dictionaries(
     callers feed them to the encode joins' broadcast gates instead of
     paying one count job per dictionary side per encode call.
     """
+    # with_sizes: lazy checkpoint — the sizes aggregate right below is
+    # the materializing job. Without sizes the eager materialization
+    # stays: callers fan straight out into broadcast builds.
     out = combined_dictionary_frame(
         all_triples, kg_expr, range_partitions
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=not with_sizes)
     cols = ["kg", "elem", "freq", "rank", "id"]
     ent = out.filter("grp = 'ent'").select(*cols)
     rel = out.filter("grp = 'rel'").select(*cols)
@@ -513,9 +517,9 @@ def single_kg_dictionaries(
             "freq",
             (F.col("off") + F.col("lrank") - 1).cast("long").alias("id"),
         )
-        .localCheckpoint(eager=True)
+        # with_sizes: the sizes aggregate below is the materializing job
+        .localCheckpoint(eager=not with_sizes)
     )
-    part.unpersist()
     ent = out.filter("grp = 'ent'").select("elem", "freq", "id")
     rel = out.filter("grp = 'rel'").select("elem", "freq", "id")
     if with_sizes:
@@ -523,7 +527,11 @@ def single_kg_dictionaries(
             r["grp"]: r["n"]
             for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
         }
+        # only unpersist AFTER out materialized (the cache covers the
+        # rank's two consumers within that one job)
+        part.unpersist()
         return ent, rel, sizes.get("ent", 0), sizes.get("rel", 0)
+    part.unpersist()
     return ent, rel
 
 

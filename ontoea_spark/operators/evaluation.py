@@ -26,6 +26,11 @@ def ranks_vs_gold(scores: DataFrame, gold: DataFrame) -> DataFrame:
 
     Returns DataFrame[lid, rank] (rank >= 1, argsort-stable tie-break).
     """
+    # NOTE (r6): a keyed-window gsim (single pass, no self-join) was
+    # prototyped and measured SLOWER here — the window's per-partition
+    # sort+buffer over the full score table costs more than the two
+    # parallel branch recomputes; this operator is the eval-scale
+    # protocol (the candidates variant below is the 100x path).
     g = F.broadcast(gold)
     with_gold = scores.join(g, "lid")
     gold_sim = (

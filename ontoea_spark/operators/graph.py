@@ -55,11 +55,11 @@ def pagerank(
         e.select(F.col("src").alias("id"))
         .union(e.select("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n = verts.count()
+    n = verts.count()  # materializes the lazy checkpoint in the same job
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contrib = (
@@ -106,6 +106,10 @@ def connected_components(
     Ids may be any orderable type (long doc ids, URI strings, ...).
     Returns DataFrame[id, component].
     """
+    # lazy checkpoints: plans are truncated immediately, but nothing
+    # blocks the driver — sym/labels materialize inside round 1's one
+    # convergence-count job (each round below is ONE job, not a
+    # materialize job + a count job)
     sym = (
         pairs.select(
             F.col(left_col).alias("a"),
@@ -118,8 +122,11 @@ def connected_components(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # labels stays EAGER: round 1 references it from three plan
+    # branches (self rows, the neighbor join, the jump pointer) — lazy
+    # would race-recompute the nodes derivation per branch
     labels = nodes.select(
         F.col(id_col).alias("id"),
         F.col(id_col).alias("comp"),
@@ -167,9 +174,10 @@ def connected_components(
                 "changed"
             ),
         )
-        new_labels = jumped.localCheckpoint(eager=True)
-        # the convergence probe is a scan of the just-materialized round
-        # output — no join, no shuffle
+        new_labels = jumped.localCheckpoint(eager=False)
+        # ONE job per round: the convergence count is what materializes
+        # the (lazily checkpointed) round output — no separate
+        # materialize job, no join, no shuffle in the probe
         n_changed = new_labels.filter("changed").count()
         labels = new_labels.select("id", "comp")
         if n_changed == 0:

@@ -418,7 +418,16 @@ def csls_candidate_scores(
         .unionByName(cols)
         .dropDuplicates(["lid", "rid"])
     )
-    return csls_rescale(cand, k=csls_k)
+    # csls_rescale references its input from THREE plan branches (row
+    # means, col means, the final join); unmaterialized, each branch
+    # would re-execute BOTH blocked top-k matmul joins — 3x the full
+    # kernel cost at corpus scale. The candidate table is O(n * k_cand)
+    # rows (bounded), so one lazy checkpoint (materialized inside the
+    # caller's action, plan truncated) is the scale-correct trade.
+    # (The full-matrix csls_rescale path deliberately stays
+    # unmaterialized: it is the eval-scale protocol, and measurement
+    # showed branch recompute beats persisting n1 x n2 rows there.)
+    return csls_rescale(cand.localCheckpoint(eager=False), k=csls_k)
 
 
 def csls_rescale(scores: DataFrame, k: int = 10, round_to: int = 6) -> DataFrame:

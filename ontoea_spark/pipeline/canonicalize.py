@@ -94,8 +94,9 @@ def _prepared_map(
     mapping: DataFrame, broadcast_threshold: int
 ) -> tuple[DataFrame, bool]:
     """Materialize the map once (it feeds several joins) and decide the
-    broadcast gate from its actual row count."""
-    mapping = mapping.localCheckpoint(eager=True)
+    broadcast gate from its actual row count. Lazy checkpoint + count:
+    one blocking job, not a materialize job followed by a count job."""
+    mapping = mapping.localCheckpoint(eager=False)
     return mapping, mapping.count() <= broadcast_threshold
 
 
@@ -272,7 +273,7 @@ def ingest_canonical_batch(
         mapping,
         msmall,
     ).select(F.col("s").alias("e1"), F.col("o").alias("e2"))
-    remap = canonical_entity_map(resolved).localCheckpoint(eager=True)
+    remap = canonical_entity_map(resolved).localCheckpoint(eager=False)
     # O(batch) by construction, but gate anyway (a pathological
     # mega-batch should degrade, not OOM) — the count is a metadata
     # read on the checkpointed frame
@@ -289,13 +290,13 @@ def ingest_canonical_batch(
     moved = (
         mapping.join(rm, "canonical")
         .select("entity", F.col("new_c").alias("canonical"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     kept = mapping.join(rm.select("canonical"), "canonical", "left_anti").select(
         "entity", "canonical"
     )
     changed_map_rows = moved.unionByName(remap)
-    mapping2 = kept.unionByName(changed_map_rows).localCheckpoint(eager=True)
+    mapping2 = kept.unionByName(changed_map_rows).localCheckpoint(eager=False)
 
     # 3. old triples touched by the remap: rewrite via broadcast joins,
     #    keeping the pre-image so the changed rows surface as explicit
@@ -311,7 +312,7 @@ def ingest_canonical_batch(
     marked = triples.join(rs, "s", "left").join(ro, "o", "left")
     touched = marked.filter(
         F.col("s_new").isNotNull() | F.col("o_new").isNotNull()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     retracted = touched.select("s", "p", "o")
     # no inner distinct: `candidates` below dedups the union once
     rewritten_old = touched.select(
@@ -412,6 +413,10 @@ def canonicalize_kg(
         _rewrite_so(all_t, mapping, small)
         .select("s", "p", "o")
         .distinct()
+        # eager: the dictionary builder references this frame from
+        # THREE union branches inside its materializing job — lazy
+        # checkpointing here was measured to race-recompute the rewrite
+        # subtree per branch
         .localCheckpoint(eager=True)
     )
     # both unified dictionaries in ONE grouped-rank pass over the
