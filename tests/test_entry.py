@@ -31,6 +31,32 @@ def test_extraction_byte_identical(spark):
     pages.unpersist()
 
 
+def test_extraction_jvm_udf_parity(spark):
+    """The default JVM-expression extractor and the Arrow-UDF seam
+    (``use_udf=True``) are byte-identical per url — the invariant that
+    lets the pipeline run the built-in path (guide §4.1) while keeping
+    the UDF signature for real-crawl extractors; also covers link-laden
+    pages (with_links=True), where the non-greedy match must stop at
+    the FIRST </p>."""
+    from ontoea_spark.pipeline.extract import extract_pages_text
+    from ontoea_spark.pipeline.pages import synthesize_pages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for with_links in (False, True):
+        pages = synthesize_pages(docs, with_links=with_links).cache()
+        jvm = extract_pages_text(pages).select("url", "text")
+        udf = extract_pages_text(pages, use_udf=True).select(
+            "url", F.col("text").alias("udf_text")
+        )
+        j = jvm.join(udf, "url")
+        n_total = j.count()
+        n_match = j.filter(F.col("text") == F.col("udf_text")).count()
+        assert n_match == n_total == docs.count(), (
+            f"with_links={with_links}: {n_total - n_match} urls differ"
+        )
+        pages.unpersist()
+
+
 def test_queries_have_oracles_or_docstring(spark):
     import __spark_entry__ as entrymod
 
