@@ -283,6 +283,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard >= threshold).
 
@@ -293,13 +294,32 @@ def ngram_jaccard_pairs(
     """
     sh = doc_shingles(docs, id_col, text_col, n)
     if max_shingle_df is not None:
-        df_ok = (
+        # anti-join against the SMALL side: shingles OVER the cap are
+        # the hub shingles (bounded — boilerplate/stopword grams), while
+        # the keep-set is nearly every distinct shingle in the corpus
+        # (billions at crawl scale). r5 broadcast the corpus-sized
+        # keep-set into a left_semi — an OOM at scale; the inverted
+        # anti-join produces identical rows with the bounded build side,
+        # and the hint stays row-count-gated for pathological caps.
+        from ontoea_spark.operators.dictionary import (
+            BROADCAST_ROW_THRESHOLD,
+            _gated_broadcast,
+        )
+
+        if broadcast_threshold is None:
+            broadcast_threshold = BROADCAST_ROW_THRESHOLD
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("shingle")
+            .localCheckpoint(eager=False)
         )
-        sh = sh.join(F.broadcast(df_ok), "shingle", "left_semi")
+        sh = sh.join(
+            _gated_broadcast(hot, hot.count() <= broadcast_threshold),
+            "shingle",
+            "left_anti",
+        )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id1"), "shingle")
     b = sh.select(F.col("id").alias("id2"), "shingle")

@@ -31,7 +31,11 @@ def ranks_vs_gold(scores: DataFrame, gold: DataFrame) -> DataFrame:
     # sort+buffer over the full score table costs more than the two
     # parallel branch recomputes; this operator is the eval-scale
     # protocol (the candidates variant below is the 100x path).
-    g = F.broadcast(gold)
+    # No hard broadcast hint on gold: it is test-split sized (grows with
+    # the corpus), and its projections carry usable size estimates, so
+    # the planner/AQE broadcasts it exactly while it actually fits
+    # (plan-asserted in tests/test_plans.py) instead of being forced.
+    g = gold
     with_gold = scores.join(g, "lid")
     gold_sim = (
         with_gold.filter(F.col("rid") == F.col("gold_rid"))

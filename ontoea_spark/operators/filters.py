@@ -147,10 +147,19 @@ def links_triples_fixpoint(
         links = remove_no_triples_link(
             links, triples1, triples2, small1=s1, small2=s2
         )
+        # truncate the loop-carried plan (lazy — materializes inside the
+        # consuming jobs): each broadcast BUILD below otherwise re-runs
+        # the whole semi-join chain accumulated so far, so build work
+        # grows quadratically with iterations
+        links = links.localCheckpoint(eager=False)
         l1 = linked_entity_set(links, "e1")
         l2 = linked_entity_set(links, "e2")
-        triples1 = remove_unlinked_triples(triples1, l1, small=sl)
-        triples2 = remove_unlinked_triples(triples2, l2, small=sl)
+        triples1 = remove_unlinked_triples(triples1, l1, small=sl).localCheckpoint(
+            eager=False
+        )
+        triples2 = remove_unlinked_triples(triples2, l2, small=sl).localCheckpoint(
+            eager=False
+        )
     return links, triples1, triples2
 
 

@@ -74,6 +74,10 @@ def contamination_check(
     """
     from ontoea_spark.operators.dedup import doc_shingles
 
+    # NOTE (r6): checkpointing the shingle table (it feeds two consumer
+    # subtrees) was measured SLOWER — persisting |corpus shingles| rows
+    # costs more than recomputing the cheap narrow derivation in
+    # parallel. Materialization only pays for expensive subtrees.
     sh = doc_shingles(docs, id_col=id_col, text_col=text_col, n=n)
     bench_ids = docs.filter(bench_filter).select(F.col(id_col).alias("id"))
     bench_sh = (
@@ -312,6 +316,7 @@ def domain_quality_prior(
     host_ranks: DataFrame,
     w_prior: float = 0.1,
     rank_cap: float = 4.0,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """Fuse the per-document quality score with a DOMAIN-level prior
     derived from the crawl's own link graph (CCNet/RefinedWeb-style
@@ -337,13 +342,25 @@ def domain_quality_prior(
     corpus-sized work is the doc_id equi-join, and hot hosts on the
     build side are a broadcast, immune to the src0-style hub skew.
     """
+    from ontoea_spark.operators.dictionary import (
+        BROADCAST_ROW_THRESHOLD,
+        _gated_broadcast,
+    )
+
+    # |hosts| is ~10^7-10^8 in a full crawl — the "hosts << corpus"
+    # assumption thins at CC scale, so the host-rank side's hint is
+    # row-count-gated (one count of the |hosts|-sized frame) instead of
+    # forced; past the gate AQE plans the join.
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_ROW_THRESHOLD
+    hosts_small = host_ranks.count() <= broadcast_threshold
     n_hosts = host_ranks.agg(F.count("*").cast("long").alias("n_hosts"))
     rel = host_ranks.crossJoin(F.broadcast(n_hosts)).select(
         "host",
         F.round(F.col("pagerank") * F.col("n_hosts"), 6).alias("rel_rank"),
     )
     j = scored_docs.join(doc_hosts, "doc_id").join(
-        F.broadcast(rel), "host", "left"
+        _gated_broadcast(rel, hosts_small), "host", "left"
     )
     rel_filled = F.coalesce(F.col("rel_rank"), F.lit(0.0))
     prior = F.round(

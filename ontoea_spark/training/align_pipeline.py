@@ -344,10 +344,25 @@ def _compat_table(
 
 
 def _fuse_type_scores(
-    scores: DataFrame, data: AlignmentData, compat: DataFrame, gamma: float
+    scores: DataFrame,
+    data: AlignmentData,
+    compat: DataFrame,
+    gamma: float,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
-    """sim + gamma * type_score over (lid, rid, sim) rows; every joined
-    side is class- or entity-count sized and broadcast."""
+    """sim + gamma * type_score over (lid, rid, sim) rows. ``compat``
+    is class x class — always broadcast; ``lcls``/``rcls`` are
+    ENTITY-count sized (they grow with the corpus), so their hints are
+    row-count-gated on the measured cv_ids size — a hard hint OOMs at
+    10^8 entities; past the gate AQE plans the joins."""
+    from ontoea_spark.operators.dictionary import (
+        BROADCAST_ROW_THRESHOLD,
+        _gated_broadcast,
+    )
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_ROW_THRESHOLD
+    cls_small = data.cv_ids.count() <= broadcast_threshold
     lcls = data.cv_ids.withColumnRenamed("ent_id", "lid").join(
         data.cls_ids, "cls_id"
     ).select("lid", F.col("cls").alias("c1"))
@@ -355,8 +370,8 @@ def _fuse_type_scores(
         data.cls_ids, "cls_id"
     ).select("rid", F.col("cls").alias("c2"))
     return (
-        scores.join(F.broadcast(lcls), "lid", "left")
-        .join(F.broadcast(rcls), "rid", "left")
+        scores.join(_gated_broadcast(lcls, cls_small), "lid", "left")
+        .join(_gated_broadcast(rcls, cls_small), "rid", "left")
         .join(F.broadcast(compat), ["c1", "c2"], "left")
         .withColumn(
             "sim",

@@ -135,3 +135,115 @@ def test_filter_ops_broadcast_gate(spark):
     assert (
         rows(h2.select("e1", "e2")) == rows(g2.select("e1", "e2")) == [("a", "x")]
     )
+
+
+def test_r6_broadcast_gate_sweep(spark):
+    """r6 sweep (VERDICT r5 'wrong' #1/#2): the four remaining hard
+    broadcast hints on corpus-growing frames are row-count-gated (or
+    dropped in favour of the planner's own size estimate). Each site:
+    small input -> broadcast present; threshold 0 (the at-scale
+    verdict) -> hint absent, AQE/SMJ plans the join; rows identical."""
+    from pyspark.sql import functions as F
+
+    from ontoea_spark.operators.dedup import ngram_jaccard_pairs
+    from ontoea_spark.pipeline.curation import domain_quality_prior, quality_score
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+
+    # (a) ngram_jaccard_pairs posting cap: the build side is now the
+    # SMALL over-cap hot-shingle set (anti-join), never the corpus-
+    # sized keep set
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    # max_shingle_df=1 makes the shared shingles (df=2) actual HOT
+    # entries, so the anti-join build side is non-empty and the
+    # threshold-0 gate genuinely drops the hint
+    hinted = ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_shingle_df=1)
+    gated = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_shingle_df=1, broadcast_threshold=0
+    )
+    assert "broadcast" in plan(hinted), plan(hinted)
+    assert "broadcast" not in plan(gated), plan(gated)
+    assert rows(hinted) == rows(gated)
+
+    # (d) domain_quality_prior host-rank side
+    scored = quality_score(docs)
+    doc_hosts = docs.select("doc_id", F.lit("h1").alias("host"))
+    ranks = spark.createDataFrame([("h1", 0.5), ("h2", 0.5)], "host string, pagerank double")
+    hinted = domain_quality_prior(scored, doc_hosts, ranks)
+    gated = domain_quality_prior(
+        scored, doc_hosts, ranks, broadcast_threshold=0
+    )
+    # the 1-row n_hosts aggregate broadcast is always present; assert on
+    # the host-rank JOIN side by plan diff: the gated plan has strictly
+    # fewer broadcast hints
+    assert plan(hinted).count("broadcast") > plan(gated).count("broadcast"), (
+        plan(gated)
+    )
+    assert rows(hinted) == rows(gated)
+
+
+def test_r6_fuse_type_scores_gate(spark):
+    """(b) _fuse_type_scores' entity-count lcls/rcls sides are gated."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ontoea_spark.training.align_pipeline import AlignmentData, _fuse_type_scores
+
+    cv_ids = spark.createDataFrame([(0, 0), (1, 1)], "ent_id long, cls_id long")
+    cls_ids = spark.createDataFrame([("cls:a", 0), ("cls:b", 1)], "cls string, cls_id long")
+    data = AlignmentData(
+        edges=None, links_split=None, cv_ids=cv_ids, cls_ids=cls_ids,
+        sub_ids=np.zeros((0, 2), dtype=np.int64),
+        onto_mat=np.zeros((2, 2)), cls_path_ids={}, n_ent=2, n_rel=1, n_cls=2,
+    )
+    compat = spark.createDataFrame(
+        [("cls:a", "cls:b", 0.5)], "c1 string, c2 string, score double"
+    )
+    scores = spark.createDataFrame(
+        [(0, 1, 0.9)], "lid long, rid long, sim double"
+    )
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    hinted = _fuse_type_scores(scores, data, compat, gamma=0.2)
+    gated = _fuse_type_scores(scores, data, compat, gamma=0.2, broadcast_threshold=0)
+    assert plan(hinted).count("broadcast") > plan(gated).count("broadcast")
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(hinted) == rows(gated)
+
+
+def test_r6_ranks_vs_gold_unforced(spark):
+    """(c) ranks_vs_gold no longer FORCES a broadcast of the test-split
+    sized gold frame: with auto-broadcast disabled the plan contains no
+    broadcast join (the r5 hard hint would override the setting), while
+    under normal settings the planner still broadcasts the small side."""
+    from ontoea_spark.operators.evaluation import ranks_vs_gold
+
+    scores = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.8)], "lid long, rid long, sim double"
+    )
+    gold = spark.createDataFrame([(0, 1)], "lid long, gold_rid long")
+
+    def final_plan(df):
+        # run first: local-relation inputs have no size estimate until
+        # AQE observes the shuffle, so the broadcast decision (without
+        # any hint) only shows in the FINAL adaptive plan
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString().lower()
+
+    assert "broadcast" in final_plan(ranks_vs_gold(scores, gold))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unforced = final_plan(ranks_vs_gold(scores, gold))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "broadcasthashjoin" not in unforced, unforced
+    out = sorted(tuple(r) for r in ranks_vs_gold(scores, gold).collect())
+    assert out == [(0, 1)]
