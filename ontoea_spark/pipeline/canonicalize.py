@@ -76,6 +76,10 @@ def canonical_entity_map(
     dropped), so the map's row count == number of merged-away entities —
     the quantity the broadcast gate should see, not |all entities|.
     """
+    # the link frame feeds four plan branches (both node columns, both
+    # sym directions) — checkpoint once so a derived link set (the gold
+    # alignment join) isn't re-derived per branch
+    links = links.localCheckpoint(eager=False)
     nodes = (
         links.select(F.col(left_col).alias("entity"))
         .unionAll(links.select(F.col(right_col).alias("entity")))
