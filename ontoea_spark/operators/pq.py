@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -253,14 +254,25 @@ def ivfpq_topk_join(
 
     Plan shape: centroids and codebooks are collected once (both are
     driver-resident by contract — every scoring strategy broadcasts
-    them) and baked into STATIC projections as array literals: cell
-    assignment, code assignment and the query LUT are per-row
-    expressions, not join+groupBy chains. The whole search is then two
-    equi-join exchanges on ``cell``/key plus the final top-k window —
-    the r5 shape paid ~8 exchanges (two window cell-assignments, a
-    two-stage encode, an explode+join+groupBy LUT, and a three-way
-    candidate join). Distance arithmetic, rounding and tie-breaks are
-    unchanged (same zip_with/aggregate fold in the same element order).
+    them); cell assignment, code assignment and the query LUT are
+    per-row projections, not join+groupBy chains. The whole search is
+    one equi-join on ``cell`` plus the final top-k window — the r5
+    shape paid ~8 exchanges (two window cell-assignments, a two-stage
+    encode, an explode+join+groupBy LUT, and a three-way candidate
+    join).
+
+    Distance evaluation is a HYBRID split chosen for bit-exactness
+    (guide §4.2): the RAW squared distances are computed per batch in a
+    NumPy kernel — ``cumsum(diff*diff)[-1]`` is the identical
+    left-to-right float64 fold as the old per-element
+    ``zip_with/aggregate`` (products are never -0.0, so the 0.0-init
+    fold equals the first-element fold bitwise) — while every ROUNDING
+    (HALF_UP ``round``) and tie-break stays in JVM expressions, because
+    NumPy's scaled-multiply round is not decimal-exact. This removes
+    the O(candidates × dim) interpreted higher-order-function work per
+    row (measured 65 s for cell assignment alone at 20k vectors x 400
+    centroids — identical cost in the r5 join shape) and leaves O(
+    candidates) JVM work per row.
     """
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
@@ -293,100 +305,153 @@ def ivfpq_topk_join(
     ):
         raise ValueError("codebooks must cover j in [0,m) x cid in [0,k)")
 
-    # Every static expression below is built as ONE generated-SQL string
-    # and parsed with a single F.expr call: composing them node-by-node
-    # through py4j costs ~5 ms per literal/struct round-trip (the r5
-    # isin lesson) — measured ~6 s of pure driver time for this operator
-    # — while parsing the equivalent SQL text is milliseconds.
-    def _d(v: float) -> str:
-        """Exact round-trip SQL double literal."""
-        return repr(float(v)) + "D"
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    def d2_sql(vec_sql: str, const: list[float], nd: int) -> str:
-        """round(d2, nd) as a zip_with/aggregate fold against an array
-        literal — bit-identical (same element order, same 0.0 init) to
-        the join-based _d2."""
-        arr = "array(" + ",".join(_d(c) for c in const) + ")"
-        return (
-            f"round(aggregate(zip_with({vec_sql},{arr},(x,y)->(x-y)*(x-y)),"
-            f"0.0D,(acc,x)->acc+x),{nd})"
+    C = len(cent_rows)
+    cent_ids = [cid for cid, _ in cent_rows]
+    cents_mat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
+    # book matrix in (j, cid) position order
+    books_mat = np.array([cv for _, _, cv in book_rows], dtype=np.float64)
+    cent_by_id = {cid: i for i, cid in enumerate(cent_ids)}
+
+    def _raw_d2(V: np.ndarray, mat: np.ndarray, col_lo: int, col_hi: int) -> np.ndarray:
+        """Raw squared distances of every batch row against every
+        constant row of ``mat`` (over vector columns [col_lo, col_hi)) —
+        cumsum is the identical left-to-right fold as the interpreted
+        zip_with/aggregate (see docstring)."""
+        out = np.empty((V.shape[0], mat.shape[0]))
+        Vs = V[:, col_lo:col_hi]
+        for i in range(mat.shape[0]):
+            diff = Vs - mat[i]
+            out[:, i] = np.cumsum(diff * diff, axis=1)[:, -1]
+        return out
+
+    def _book_d2(V: np.ndarray) -> np.ndarray:
+        """(rows, m*k) raw book distances: subspace j's entries against
+        the j-th slice of the vectors, in (j, cid) position order."""
+        cols = [
+            _raw_d2(V, books_mat[j * k_codes : (j + 1) * k_codes, :],
+                    j * sub, (j + 1) * sub)
+            for j in range(m)
+        ]
+        return np.concatenate(cols, axis=1)
+
+    # no pd.Series annotations: module-level `from __future__ import
+    # annotations` stringifies them and pandas_udf can't resolve the
+    # function-local `pd`; annotation-free defaults to the scalar form
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def raw_all(vec):
+        V = np.stack(vec.to_numpy())
+        out = np.concatenate([_raw_d2(V, cents_mat, 0, dim), _book_d2(V)], axis=1)
+        return pd.Series(list(out))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def raw_cent(vec):
+        V = np.stack(vec.to_numpy())
+        return pd.Series(list(_raw_d2(V, cents_mat, 0, dim)))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def raw_book_residual(vec, cell):
+        V = np.stack(vec.to_numpy())
+        idx = np.array([cent_by_id[int(c)] for c in cell.to_numpy()])
+        return pd.Series(list(_book_d2(V - cents_mat[idx])))
+
+    # JVM side: rounding + tie-breaks over the raw arrays — O(candidates)
+    # interpreted work per row instead of O(candidates x dim). SQL built
+    # as text (the py4j node-by-node construction measured ~6 s of
+    # driver time for this operator — the r5 isin lesson).
+    cid_arr = "array(" + ",".join(f"{cid}L" for cid in cent_ids) + ")"
+
+    def cells_sql(raw_name: str, n_cells: int) -> str:
+        """Top-``n_cells`` centroid cells by (round(d2,9), cid asc) —
+        array_sort (or array_min for the single-cell case: O(C), not
+        O(C log C) struct comparisons per row) is the same lexicographic
+        order the r5 window used."""
+        cands = (
+            f"transform(sequence(1,{C}),i->struct("
+            f"round(element_at({raw_name},i),9) AS cd2,"
+            f"element_at({cid_arr},i) AS cid))"
         )
+        if n_cells == 1:
+            return f"array(array_min({cands}).cid)"
+        return f"transform(slice(array_sort({cands}),1,{n_cells}),s->s.cid)"
 
-    def sv_sql(vec_name: str, j: int) -> str:
-        return f"slice({vec_name},{j * sub + 1},{sub})"
-
-    def cells_sql(vec_name: str) -> str:
-        """Top-``nprobe`` centroid cells by (round(d2,9), cid asc) —
-        array_sort over structs is the same lexicographic order the r5
-        window used."""
-        cands = "array(" + ",".join(
-            f"struct({d2_sql(vec_name, cv, 9)} AS cd2,{cid}L AS cid)"
-            for cid, cv in cent_rows
-        ) + ")"
-        return f"transform(slice(array_sort({cands}),1,{nprobe}),s->s.cid)"
-
-    def codes_sql(vec_name: str) -> str:
+    def codes_sql(raw_name: str, off: int) -> str:
         """m codes, each the argmin codebook entry by (round(d2,12),
-        cid asc) — array_min over structs is the r5 min(struct) order."""
+        cid asc) — array_min over structs is the r5 min(struct) order.
+        ``off``: index of the first book entry inside the raw array."""
         outs = []
         for j in range(m):
-            cands = "array(" + ",".join(
-                f"struct({d2_sql(sv_sql(vec_name, j), cv, 12)} AS d2,"
-                f"{cid}L AS cid)"
-                for cid, cv in books_by_j[j]
-            ) + ")"
+            cands = (
+                f"transform(sequence(1,{k_codes}),c->struct("
+                f"round(element_at({raw_name},{off + j * k_codes}+c),12) AS d2,"
+                f"CAST(c-1 AS BIGINT) AS cid))"
+            )
             outs.append(f"CAST(array_min({cands}).cid AS INT)")
         return "array(" + ",".join(outs) + ")"
 
-    def lut_sql(vec_name: str) -> str:
+    def lut_sql(raw_name: str, off: int) -> str:
         """m*k 9dp lookup entries in (j, cid) position order."""
-        return "array(" + ",".join(
-            d2_sql(sv_sql(vec_name, j), cv, 9)
-            for j in range(m)
-            for _, cv in books_by_j[j]
-        ) + ")"
-
-    cmap_sql = "map(" + ",".join(
-        f"{cid}L,array(" + ",".join(_d(x) for x in cv) + ")"
-        for cid, cv in cent_rows
-    ) + ")"
-    res_sql = f"zip_with(vec,element_at({cmap_sql},cell),(a,b)->a-b)"
+        return f"transform(slice({raw_name},{off + 1},{m * k_codes}),d->round(d,9))"
 
     if residual:
         # corpus codes quantize v - centroid[cell]; the query LUT is
         # built PER PROBED CELL from the query's residual w.r.t. that
-        # cell (FAISS IVFADC semantics) — the centroid lookup is a map
-        # literal, so residualization is still a projection
-        rq = rv.select(
-            F.col("id").alias("rid"),
-            F.expr(f"element_at({cells_sql('vec')},1)").alias("cell"),
-            "vec",
-        ).select(
-            "rid",
-            "cell",
-            F.expr(res_sql).alias("rvec"),
-        ).select("rid", "cell", F.expr(codes_sql("rvec")).alias("codes"))
+        # cell (FAISS IVFADC semantics) — a second kernel pass computes
+        # the residual book distances given the JVM-chosen cell
+        rq = (
+            rv.select(
+                F.col("id").alias("rid"),
+                "vec",
+                raw_cent(F.col("vec")).alias("rawc"),
+            )
+            .select(
+                "rid",
+                "vec",
+                F.expr(f"element_at({cells_sql('rawc', 1)},1)").alias("cell"),
+            )
+            .select(
+                "rid",
+                "cell",
+                raw_book_residual(F.col("vec"), F.col("cell")).alias("rawb"),
+            )
+            .select("rid", "cell", F.expr(codes_sql("rawb", 0)).alias("codes"))
+        )
         lq = (
             lv.select(
                 F.col("id").alias("lid"),
                 "vec",
-                F.explode(F.expr(cells_sql("vec"))).alias("cell"),
+                raw_cent(F.col("vec")).alias("rawc"),
             )
-            .select("lid", "cell", F.expr(res_sql).alias("rvec"))
-            .select("lid", "cell", F.expr(lut_sql("rvec")).alias("lut"))
+            .select(
+                "lid",
+                "vec",
+                F.explode(F.expr(cells_sql("rawc", nprobe))).alias("cell"),
+            )
+            .select(
+                "lid",
+                "cell",
+                raw_book_residual(F.col("vec"), F.col("cell")).alias("rawb"),
+            )
+            .select("lid", "cell", F.expr(lut_sql("rawb", 0)).alias("lut"))
         )
     else:
         rq = rv.select(
-            F.col("id").alias("rid"),
-            F.expr(f"element_at({cells_sql('vec')},1)").alias("cell"),
-            F.expr(codes_sql("vec")).alias("codes"),
+            F.col("id").alias("rid"), raw_all(F.col("vec")).alias("raw")
+        ).select(
+            "rid",
+            F.expr(f"element_at({cells_sql('raw', 1)},1)").alias("cell"),
+            F.expr(codes_sql("raw", C)).alias("codes"),
         )
         # raw-mode LUT is cell-independent: computed once per query row,
         # before the probe explode
         lq = lv.select(
-            F.col("id").alias("lid"),
-            F.expr(lut_sql("vec")).alias("lut"),
-            F.explode(F.expr(cells_sql("vec"))).alias("cell"),
+            F.col("id").alias("lid"), raw_all(F.col("vec")).alias("raw")
+        ).select(
+            "lid",
+            F.expr(lut_sql("raw", C)).alias("lut"),
+            F.explode(F.expr(cells_sql("raw", nprobe))).alias("cell"),
         )
 
     # fixed-subspace-order sum as a static projection: lut is 1-indexed,
