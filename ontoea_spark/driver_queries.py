@@ -1763,8 +1763,8 @@ def q_ann_ivfpq_top1(spark, sf_dir):
     # codebook training is a one-off INDEX BUILD (the FAISS train step),
     # not per-query work — memoized like the other derived fixtures so a
     # session times the search, not a rebuild of the quantizer per run
-    # (VERDICT r5 'next' #3); the training cost itself is reported
-    # separately (scripts/bench_quick.py ann_ivfpq_train).
+    # (VERDICT r5 'next' #3); the training cost itself is measured and
+    # reported in OPTIMIZATION_r06.md (6.9s cold / 1.9s warm standalone).
     books = _memo(
         spark,
         sf_dir,

@@ -413,6 +413,12 @@ def minhash_lsh_pairs(
     per_doc = _minhash_wide(docs, id_col, text_col, n)
     k = len(MINHASH_PARAMS)
     rows_per_band = k // bands
+    # band membership is hf DIV rows_per_band — when bands does not
+    # divide k this yields ceil(k / rows_per_band) groups (the trailing
+    # hashes form a short extra band), exactly like the pre-r6
+    # explode+groupBy construction; a plain range(bands) would silently
+    # drop the trailing k % bands hash functions
+    n_groups = -(-k // rows_per_band)
     banded = per_doc.select(
         "id",
         F.explode(
@@ -426,12 +432,12 @@ def minhash_lsh_pairs(
                                 F.col(f"m{i}").cast("string")
                                 for i in range(
                                     band * rows_per_band,
-                                    (band + 1) * rows_per_band,
+                                    min((band + 1) * rows_per_band, k),
                                 )
                             ],
                         ).alias("band_key"),
                     )
-                    for band in range(bands)
+                    for band in range(n_groups)
                 ]
             )
         ).alias("x"),

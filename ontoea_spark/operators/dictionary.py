@@ -476,50 +476,22 @@ def single_kg_dictionaries(
     """D3 for BOTH the entity (roles s/o) and relation (role p)
     dictionaries of ONE triple set in a single pass — one groupBy count
     + one range shuffle + one grouped two-phase rank, instead of two
-    full :func:`single_kg_ids` scans of the triple stream. Values are
-    identical per group (same (freq desc, elem desc) rank; id == rank).
+    full :func:`single_kg_ids` scans of the triple stream.
+
+    Implemented as the one-KG case of :func:`combined_dictionary_frame`
+    (kg ≡ 1): with no partner KG, ``n_other`` coalesces to 0 and the
+    interleave arithmetic degenerates to ``id == rank`` — D3's exact
+    contract — so there is ONE grouped-rank implementation to maintain
+    (review r6: an earlier copy duplicated the two-phase machinery).
 
     Returns (ent_ids, rel_ids), each DataFrame[elem, freq, id],
     localCheckpoint-materialized; ``with_sizes=True`` adds (n_ent,
-    n_rel) from one aggregate job for downstream broadcast gates.
+    n_rel) from one aggregate job (the materializing job) for
+    downstream broadcast gates.
     """
-    occs = (
-        triples.select(F.col("s").alias("elem"))
-        .unionAll(triples.select(F.col("o").alias("elem")))
-        .withColumn("grp", F.lit("ent"))
-        .unionByName(
-            triples.select(F.col("p").alias("elem")).withColumn(
-                "grp", F.lit("rel")
-            )
-        )
-    )
-    freqs = occs.groupBy("grp", "elem").agg(F.count("*").alias("freq"))
-    part = freqs.repartitionByRange(
-        range_partitions, F.col("grp"), F.desc("freq"), F.desc("elem")
-    ).withColumn("pid", F.spark_partition_id())
-    part = part.cache()
-    wl = Window.partitionBy("grp", "pid").orderBy(F.desc("freq"), F.desc("elem"))
-    local = part.withColumn("lrank", F.row_number().over(wl))
-    counts = part.groupBy("grp", "pid").agg(F.count("*").alias("cnt"))
-    woff = (
-        Window.partitionBy("grp")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("cnt").over(woff), F.lit(0))
-    ).select("grp", "pid", "off")
-    out = (
-        local.join(F.broadcast(offsets), ["grp", "pid"])
-        .select(
-            "grp",
-            "elem",
-            "freq",
-            (F.col("off") + F.col("lrank") - 1).cast("long").alias("id"),
-        )
-        # with_sizes: the sizes aggregate below is the materializing job
-        .localCheckpoint(eager=not with_sizes)
-    )
+    out = combined_dictionary_frame(
+        triples, F.lit(1), range_partitions
+    ).localCheckpoint(eager=not with_sizes)
     ent = out.filter("grp = 'ent'").select("elem", "freq", "id")
     rel = out.filter("grp = 'rel'").select("elem", "freq", "id")
     if with_sizes:
@@ -527,11 +499,7 @@ def single_kg_dictionaries(
             r["grp"]: r["n"]
             for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
         }
-        # only unpersist AFTER out materialized (the cache covers the
-        # rank's two consumers within that one job)
-        part.unpersist()
         return ent, rel, sizes.get("ent", 0), sizes.get("rel", 0)
-    part.unpersist()
     return ent, rel
 
 

@@ -152,9 +152,15 @@ def connected_components(
                 )
             )
         )
+        # drop ids that only appear as PAIR endpoints, never in nodes
+        # (old is non-null exactly for the self rows): the operator's
+        # contract labels the declared node set only — without this
+        # filter such ids would surface as extra, mislabeled output
+        # rows with a NULL changed-flag invisible to the convergence
+        # count
         stepped = contribs.groupBy("id").agg(
             F.min("cand").alias("m"), F.max("old").alias("old")
-        )
+        ).filter(F.col("old").isNotNull())
         # pointer jumping: comp <- label(comp) — halves remaining path
         # lengths, turning O(diameter) convergence into O(log diameter).
         # The jump reads the PREVIOUS round's (already materialized)

@@ -62,9 +62,14 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    # match on the BINARY column and decode only the matched body —
+    # mirrors the old per-row re.search-on-bytes semantics exactly:
+    # invalid UTF-8 OUTSIDE the body never fails the page (a whole-page
+    # string cast would), invalid bytes INSIDE the body still raise
     arr = pa.Array.from_pandas(html)
-    ext = pc.extract_regex(pc.cast(arr, pa.string()), pattern=_BODY_RE2)
-    return pc.fill_null(pc.struct_field(ext, "body"), "").to_pandas()
+    ext = pc.extract_regex(arr, pattern=_BODY_RE2)
+    body = pc.fill_null(pc.struct_field(ext, "body"), b"")
+    return pc.cast(body, pa.string()).to_pandas()
 
 
 def extract_pages_text(pages: DataFrame, use_udf: bool = False) -> DataFrame:

@@ -82,7 +82,11 @@ class SparkEntStore:
             self._parts = _parts
         else:
             # compat path: split an externally-supplied store frame into
-            # range buckets, materialized in ONE union-count job
+            # range buckets, materialized in ONE union-count job. The
+            # source is checkpointed FIRST so the n_buckets range
+            # filters scan one materialized frame instead of re-running
+            # the source derivation once per bucket.
+            df = df.localCheckpoint(eager=True)
             self._parts = [
                 df.filter(
                     (df["idx"] >= b * self._bw) & (df["idx"] < (b + 1) * self._bw)

@@ -41,3 +41,17 @@ def test_connected_components_long_chain(spark):
         for r in connected_components(nodes, pairs, id_col="id").collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_ignores_pair_endpoints_outside_nodes(spark):
+    """Pair endpoints absent from `nodes` must neither appear in the
+    output nor perturb convergence (r6 review: the restructured round
+    briefly emitted them with a NULL changed-flag)."""
+    from ontoea_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(9,), (7,)], "id long")
+    pairs = spark.createDataFrame([(9, 5), (7, 9)], "id1 long, id2 long")
+    out = {r["id"]: r["component"] for r in connected_components(nodes, pairs).collect()}
+    # id 5 is undeclared: no output row for it, and 9 must not learn a
+    # label through it; 7-9 are connected within the declared set
+    assert out == {7: 7, 9: 7}

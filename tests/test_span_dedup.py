@@ -67,3 +67,48 @@ def test_span_dedup_partition_invariant(spark):
         map(tuple, span_dedup_signals(docs.repartition(7, "text"), k=3).collect())
     )
     assert a == b
+
+
+def test_minhash_partial_band_parity(spark):
+    """bands that do not divide k form a trailing short band (hf DIV
+    rows_per_band semantics) — r6 review: the wide band-key build must
+    not drop the trailing hash functions."""
+    from pyspark.sql import functions as F
+
+    from ontoea_spark.functions.hashing import MINHASH_PARAMS
+    from ontoea_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    bands = 5
+    k = len(MINHASH_PARAMS)
+    r = k // bands
+    # reference construction straight from the long signature shape
+    sigs = minhash_signatures(docs)
+    banded = (
+        sigs.withColumn("band", F.expr(f"hf DIV {r}"))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hf", "minhash"))),
+                    lambda s: s.minhash.cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(F.col("id").alias("id1"), "band", "band_key")
+    b = banded.select(F.col("id").alias("id2"), "band", "band_key")
+    expect = sorted(
+        tuple(x)
+        for x in a.join(b, ["band", "band_key"])
+        .filter("id1 < id2")
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("n_bands"))
+        .collect()
+    )
+    got = sorted(tuple(x) for x in minhash_lsh_pairs(docs, bands=bands).collect())
+    assert got == expect and len(got) >= 1
