@@ -64,6 +64,17 @@ STORE_N_BUCKETS = 16
 _BUCKET_PART_ROWS = 32768
 
 
+def _effective_buckets(n_ent: int, n_buckets: int) -> int:
+    """Cap the bucket count so a bucket is never smaller than one
+    partition's row target: buckets below that size add per-step
+    overhead (one broadcast build + one frame per bucket per rewrite)
+    with nothing to prune — at test scale (hundreds of entities) this
+    measured minutes across a training fit. Small stores therefore run
+    single-bucket (the r5 shape); the bucketing engages as n_ent
+    crosses ~_BUCKET_PART_ROWS per requested bucket."""
+    return max(1, min(int(n_buckets), -(-n_ent // _BUCKET_PART_ROWS)))
+
+
 class SparkEntStore:
     """Entity weights + Adagrad state as idx-range-bucketed
     ``(idx, w, g2)`` DataFrames (one materialized frame per bucket)."""
@@ -76,7 +87,7 @@ class SparkEntStore:
         self.dim = int(dim)
         self.lr = float(lr)
         self.eps = float(eps)
-        self.n_buckets = int(n_buckets)
+        self.n_buckets = _effective_buckets(n_ent, n_buckets)
         self._bw = max(1, -(-self.n_ent // self.n_buckets))  # bucket width
         if _parts is not None:
             self._parts = _parts
@@ -123,6 +134,7 @@ class SparkEntStore:
         import pandas as pd
 
         n, dim = ent.shape
+        n_buckets = _effective_buckets(n, n_buckets)
         parts = n_parts or spark.sparkContext.defaultParallelism
         zeros = [0.0] * dim
         bw = max(1, -(-n // n_buckets))
@@ -173,6 +185,7 @@ class SparkEntStore:
         :meth:`from_numpy`."""
         import pandas as pd
 
+        n_buckets = _effective_buckets(n_ent, n_buckets)
         parts = n_parts or spark.sparkContext.defaultParallelism
         zeros = [0.0] * dim
         sd = int(seed)
