@@ -357,6 +357,15 @@ def ivfpq_topk_join(
         idx = np.array([cent_by_id[int(c)] for c in cell.to_numpy()])
         return pd.Series(list(_book_d2(V - cents_mat[idx])))
 
+    # asNondeterministic: the kernels ARE deterministic, but the
+    # optimizer otherwise substitutes the UDF expression into every
+    # consumer when collapsing projections — the plan showed SIX
+    # ArrowEvalPython nodes for two logical kernel passes (guide §4.4);
+    # the marker pins one evaluation per side
+    raw_all = raw_all.asNondeterministic()
+    raw_cent = raw_cent.asNondeterministic()
+    raw_book_residual = raw_book_residual.asNondeterministic()
+
     # JVM side: rounding + tie-breaks over the raw arrays — O(candidates)
     # interpreted work per row instead of O(candidates x dim). SQL built
     # as text (the py4j node-by-node construction measured ~6 s of
